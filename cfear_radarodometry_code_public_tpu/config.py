@@ -1,0 +1,207 @@
+"""Configuration surface of the engine.
+
+Mirrors the three Parameters structs of the reference
+(`radar_driver.h:35-84`, `odometrykeyframefuser.h:72-195`, and the solver
+settings in `n_scan_normal.h:53-81`) as one frozen dataclass tree, so a config
+can be used as a static (hashable) argument to jitted functions.
+
+Canonical presets (paper Tab. I, encoded in the reference's
+`launch/oxford_demo:33-76`): CFEAR-1, CFEAR-2, CFEAR-3, CFEAR-3-s50, plus
+dataset-specific radar geometry (`launch/oxford/oxford_odom.launch:11-16`,
+`launch/Mulran/mulran_odom.launch:11-14`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class RadarConfig:
+    """Sensor geometry and ingest parameters (reference `radar_driver.h:40-48`)."""
+
+    n_azimuths: int = 400
+    n_bins: int = 3768
+    range_res: float = 0.0438
+    ccw: bool = False                # radar spins counter-clockwise (MulRan true)
+    sensor_period: float = 0.25     # 4 Hz (`odometrykeyframefuser.h:213`)
+    min_distance: float = 2.5
+    max_distance: float = 200.0
+    dataset: str = "oxford"
+
+    @property
+    def max_usable_range(self) -> float:
+        """Largest range a return can have, bounded by the image extent."""
+        return min(self.max_distance, (self.n_bins + 0.5) * self.range_res)
+
+
+@dataclass(frozen=True)
+class FilterConfig:
+    """Polar-image return filtering (reference `radar_filters.h`, `cfar.h`)."""
+
+    method: str = "kstrong"          # "kstrong" | "cacfar"
+    k_strongest: int = 12
+    z_min: int = 60
+    nms_window: int = 3              # axial NMS half-window (`radar_filters.cpp:240`)
+    # CA-CFAR (reference `cfar.h:28-42`)
+    cfar_window: int = 40
+    cfar_guard: int = 4
+    false_alarm_rate: float = 0.01
+    cfar_static_threshold: float = 55.0
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """Oriented-surface-point extraction (reference `pointnormal.{h,cpp}`)."""
+
+    res: float = 3.5                 # grid/search radius r (`odometrykeyframefuser.h:97`)
+    downsample_factor: float = 1.0   # voxel leaf = res/downsample_factor (`pointnormal.cpp:279`)
+    weight_intensity: bool = True
+    intensity_floor: float = 60.0    # w = max(I - 60, 0) (`pointnormal.cpp:15`)
+    min_samples: int = 6             # >=6 points per cell (`pointnormal.cpp:291`)
+    cond_max: float = 10000.0        # validity gates (`pointnormal.cpp:53-56`)
+    det_min: float = 1e-5
+    max_cells: int = 2048            # fixed-size compacted cell budget per scan
+    use_raw_pointcloud: bool = False # ablation: identity cell per point (`pointnormal.h:62`)
+
+
+@dataclass(frozen=True)
+class RegistrationConfig:
+    """N-scan registration solver (reference `n_scan_normal.{h,cpp}`, `registration.h`)."""
+
+    cost: str = "P2L"                # "P2P" | "P2L" | "P2D" (`registration.h:55`)
+    loss: str = "Huber"              # None|Huber|Cauchy|SoftLOne|Tukey|Combined
+    loss_limit: float = 0.1
+    weight_opt: str = "Combined"     # Uniform|Sim_N|Sim_direction|Sim_scale|Combined
+    assoc_radius: float = 2.0        # kd 1-NN gate (`registration.h:122`); 2x on 1st itr
+    angle_outlier_deg: float = 30.0  # normal gate cos(pi/6) (`n_scan_normal.cpp:219`)
+    max_itr_association: int = 8     # outer loop (`n_scan_normal.h:75`)
+    min_itr: int = 3
+    max_itr_solver: int = 20         # inner LM (`n_scan_normal.cpp:9`)
+    score_tolerance: float = 1e-5    # (`n_scan_normal.h:74`)
+    function_tolerance: float = 1e-6 # Ceres default used by the inner solver
+    cov_scale: float = 1.0           # P2D covariance scale (`n_scan_normal.h:72`)
+    regularization: float = 0.01     # P2D regularization (`n_scan_normal.h:73`)
+    soft_constraint: bool = False
+    covariance_scaler: float = 30.0  # Censi-style scaling (`n_scan_normal.cpp:418`)
+    disable_registration: bool = False
+
+
+@dataclass(frozen=True)
+class OdometryConfig:
+    """Keyframe fuser orchestration (reference `odometrykeyframefuser.h:72-195`)."""
+
+    submap_scan_size: int = 4
+    keyframe_min_dist: float = 1.5
+    keyframe_min_rot_deg: float = 5.0
+    use_keyframe: bool = True
+    use_guess: bool = True
+    compensate: bool = True
+    vel_limit: float = 200.0         # sanity gates (`odometrykeyframefuser.cpp:76-94`)
+    acc_limit: float = 200.0
+    # covariance by cost sampling (`odometrykeyframefuser.cpp:261-380`)
+    estimate_cov_by_sampling: bool = False
+    cov_sampling_xy_range: float = 0.4
+    cov_sampling_yaw_range: float = 0.0043
+    cov_sampling_samples_per_axis: int = 3
+    cov_sampling_covariance_scaler: float = 4.0
+    store_graph: bool = True
+
+
+@dataclass(frozen=True)
+class CFEARConfig:
+    """Top-level configuration tree."""
+
+    radar: RadarConfig = RadarConfig()
+    filter: FilterConfig = FilterConfig()
+    feature: FeatureConfig = FeatureConfig()
+    registration: RegistrationConfig = RegistrationConfig()
+    odometry: OdometryConfig = OdometryConfig()
+    name: str = "CFEAR-3"
+
+    @property
+    def max_points(self) -> int:
+        """Fixed point budget per frame: one k-strongest slot per azimuth."""
+        return self.radar.n_azimuths * self.filter.k_strongest
+
+    @property
+    def grid_dim(self) -> int:
+        """Dense feature-grid dimension covering [-extent, extent]^2."""
+        half = int(math.ceil(self.radar.max_usable_range / self.feature.res)) + 2
+        return 2 * half
+
+    @property
+    def grid_cells(self) -> int:
+        return self.grid_dim * self.grid_dim
+
+    def replace(self, **kw) -> "CFEARConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _dataset_radar(dataset: str) -> RadarConfig:
+    """Radar geometry per dataset (reference launch files)."""
+    if dataset == "oxford":
+        return RadarConfig(range_res=0.0438, ccw=False, min_distance=2.5,
+                           n_bins=3768, dataset="oxford")
+    if dataset == "mulran":
+        return RadarConfig(range_res=0.059523809523809, ccw=True, min_distance=2.5,
+                           n_bins=3360, dataset="mulran")
+    if dataset == "kvarntorp":
+        return RadarConfig(range_res=0.175238, ccw=True, min_distance=4.0,
+                           n_bins=832, dataset="kvarntorp")
+    if dataset == "volvo":
+        return RadarConfig(range_res=0.175238, ccw=True, min_distance=2.5,
+                           n_bins=832, dataset="volvo")
+    if dataset == "synthetic":
+        # small synthetic sensor used in tests/benchmarks
+        return RadarConfig(n_azimuths=400, n_bins=1024, range_res=0.175,
+                           ccw=False, min_distance=2.5, dataset="synthetic")
+    raise ValueError(f"unknown dataset '{dataset}'")
+
+
+def preset(name: str = "CFEAR-3", dataset: str = "oxford") -> CFEARConfig:
+    """Canonical parameter presets (paper Tab. I / `launch/oxford_demo:33-76`)."""
+    radar = _dataset_radar(dataset)
+    if name == "CFEAR-1":
+        return CFEARConfig(
+            radar=radar,
+            filter=FilterConfig(k_strongest=12, z_min=70),
+            feature=FeatureConfig(res=3.5, weight_intensity=True),
+            registration=RegistrationConfig(cost="P2L", loss="Huber", loss_limit=0.1,
+                                            weight_opt="Combined"),
+            odometry=OdometryConfig(submap_scan_size=1),
+            name=name,
+        )
+    if name == "CFEAR-2":
+        return CFEARConfig(
+            radar=radar,
+            filter=FilterConfig(k_strongest=15, z_min=70),
+            feature=FeatureConfig(res=3.0, weight_intensity=True),
+            registration=RegistrationConfig(cost="P2L", loss="Huber", loss_limit=0.1,
+                                            weight_opt="Combined"),
+            odometry=OdometryConfig(submap_scan_size=3),
+            name=name,
+        )
+    if name == "CFEAR-3":
+        return CFEARConfig(
+            radar=radar,
+            filter=FilterConfig(k_strongest=40, z_min=60),
+            feature=FeatureConfig(res=3.0, weight_intensity=True, max_cells=3072),
+            registration=RegistrationConfig(cost="P2P", loss="Huber", loss_limit=0.1,
+                                            weight_opt="Combined"),
+            odometry=OdometryConfig(submap_scan_size=4),
+            name=name,
+        )
+    if name == "CFEAR-3-s50":
+        return CFEARConfig(
+            radar=radar,
+            filter=FilterConfig(k_strongest=40, z_min=60),
+            feature=FeatureConfig(res=3.0, weight_intensity=True, max_cells=3072),
+            registration=RegistrationConfig(cost="P2P", loss="Cauchy", loss_limit=0.1,
+                                            weight_opt="Combined"),
+            odometry=OdometryConfig(submap_scan_size=50),
+            name=name,
+        )
+    raise ValueError(f"unknown preset '{name}'")

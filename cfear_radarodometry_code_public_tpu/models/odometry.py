@@ -1,0 +1,247 @@
+"""Keyframe odometry pipeline as a pure scan-carry state machine.
+
+TPU-first re-design of `OdometryKeyframeFuser::processFrame`
+(`odometrykeyframefuser.cpp:143-259`). The per-frame pipeline is a pure
+function `step(state, polar_image) -> (state, FrameOutput)` run under
+`jax.lax.scan` over frame chunks and `jax.vmap` over batches of sequences.
+
+Numerical design: all on-device poses are ANCHOR-RELATIVE. Whenever a new
+keyframe is fused the anchor is rebased to that keyframe's pose, so device
+f32 coordinates stay within the submap extent (tens of meters, um-level
+resolution) instead of growing with trajectory length (km). Each frame
+output carries the pose in the pre-rebase anchor frame plus the anchor shift
+applied that frame; the host composes the global f64 trajectory
+(`compose_trajectory`).
+
+The keyframe window is a fixed-size ring buffer of cell arrays
+(`AddToReference`, `odometrykeyframefuser.cpp:470-476`), the keyframe gate is
+1.5 m / 5 deg (`:62-73`), the initial guess is constant-velocity
+(`:164-168`), motion compensation uses the previous frame's motion
+(`:146-150`), and the velocity/acceleration sanity fallback reproduces
+(`:76-94,197-199`).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cfear_radarodometry_code_public_tpu.config import CFEARConfig
+from cfear_radarodometry_code_public_tpu.ops import features, filtering, registration
+from cfear_radarodometry_code_public_tpu.ops.features import CellMap
+from cfear_radarodometry_code_public_tpu.utils import se2
+
+
+class OdometryState(NamedTuple):
+    """Scan-carry state (anchor-relative poses)."""
+
+    kf_cells: CellMap      # (S, M, ...) keyframe cells, each in its local frame
+    kf_poses: jax.Array    # (S, 3) keyframe poses in the anchor frame
+    kf_valid: jax.Array    # (S,) bool
+    t_prev: jax.Array      # (3,) previous frame pose in the anchor frame
+    tmot: jax.Array        # (3,) previous frame-to-frame motion
+    initialized: jax.Array # bool
+    distance: jax.Array    # accumulated keyframe distance (m)
+    frame_nr: jax.Array    # int32 — frames processed
+    kf_count: jax.Array    # int32 — keyframes fused
+
+
+class FrameOutput(NamedTuple):
+    pose: jax.Array        # (3,) frame pose in the PRE-rebase anchor frame
+    shift: jax.Array       # (3,) anchor rebase applied this frame (id if none)
+    fused: jax.Array       # bool — became a keyframe
+    cov: jax.Array         # (3, 3) registration covariance
+    success: jax.Array     # bool
+    score: jax.Array
+    num_assoc: jax.Array
+    num_cells: jax.Array
+
+
+def _tree_select(pred, a, b):
+    """jnp.where over matching pytrees with a scalar predicate."""
+    return jax.tree.map(
+        lambda x, y: jnp.where(jnp.reshape(pred, (1,) * x.ndim), x, y), a, b)
+
+
+def init_state(cfg: CFEARConfig, dtype=jnp.float32) -> OdometryState:
+    s = cfg.odometry.submap_scan_size
+    m = cfg.feature.max_cells
+    zeros_cells = CellMap(
+        mean=jnp.zeros((s, m, 2), dtype),
+        normal=jnp.zeros((s, m, 2), dtype),
+        cov=jnp.zeros((s, m, 2, 2), dtype),
+        nsamples=jnp.zeros((s, m), dtype),
+        planarity=jnp.zeros((s, m), dtype),
+        valid=jnp.zeros((s, m), bool),
+    )
+    return OdometryState(
+        kf_cells=zeros_cells,
+        kf_poses=jnp.zeros((s, 3), dtype),
+        kf_valid=jnp.zeros((s,), bool),
+        t_prev=jnp.zeros((3,), dtype),
+        tmot=jnp.zeros((3,), dtype),
+        initialized=jnp.asarray(False),
+        distance=jnp.asarray(0.0, dtype),
+        frame_nr=jnp.asarray(0, jnp.int32),
+        kf_count=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _push_keyframe(state: OdometryState, cells: CellMap, pose):
+    """FIFO-push a keyframe and rebase the anchor to its pose."""
+    rolled = jax.tree.map(lambda a: jnp.roll(a, -1, axis=0), state.kf_cells)
+    new_cells = jax.tree.map(
+        lambda buf, c: buf.at[-1].set(c), rolled, cells)
+    inv = se2.inverse(pose)
+    poses = jnp.roll(state.kf_poses, -1, axis=0).at[-1].set(pose)
+    poses = se2.compose(inv[None, :], poses)        # rebase: new kf at identity
+    valid = jnp.roll(state.kf_valid, -1, axis=0).at[-1].set(True)
+    return new_cells, poses, valid
+
+
+def make_step(cfg: CFEARConfig):
+    """Build the jittable per-frame step function for a config."""
+    odo = cfg.odometry
+    rot_gate = math.radians(odo.keyframe_min_rot_deg)
+    dt = cfg.radar.sensor_period
+
+    def step(state: OdometryState, image) -> tuple[OdometryState, FrameOutput]:
+        pts = filtering.filter_polar_image(image, cfg)
+        if odo.compensate:
+            xy = se2.compensate_points(pts.xy, state.tmot, cfg.radar.ccw)
+            pts = pts._replace(xy=xy)
+        cells = features.compute_cells(pts, cfg)
+        guess = se2.compose(state.t_prev, state.tmot) if odo.use_guess \
+            else state.t_prev
+
+        def bootstrap(_):
+            ident = jnp.zeros((3,), guess.dtype)
+            kfc, kfp, kfv = _push_keyframe(state, cells, ident)
+            new_state = state._replace(
+                kf_cells=kfc, kf_poses=kfp, kf_valid=kfv,
+                t_prev=ident, initialized=jnp.asarray(True),
+                frame_nr=state.frame_nr + 1, kf_count=jnp.asarray(1, jnp.int32))
+            out = FrameOutput(
+                pose=ident, shift=ident, fused=jnp.asarray(True),
+                cov=jnp.eye(3, dtype=guess.dtype), success=jnp.asarray(True),
+                score=jnp.asarray(0.0, guess.dtype),
+                num_assoc=jnp.asarray(0, jnp.int32), num_cells=cells.n)
+            return new_state, out
+
+        def normal(_):
+            res = registration.register(
+                state.kf_cells, state.kf_poses, state.kf_valid, cells, guess,
+                cfg=cfg)
+            t_cur = jnp.where(res.success, res.pose, guess)
+            # velocity / acceleration sanity fallback
+            # (`odometrykeyframefuser.cpp:76-94,197-199`)
+            tmot_cur = se2.relative(state.t_prev, t_cur)
+            vel = jnp.linalg.norm(tmot_cur[:2]) / dt
+            acc = jnp.linalg.norm(tmot_cur[:2] - state.tmot[:2]) / (dt * dt)
+            sane = (vel <= odo.vel_limit) & (acc <= odo.acc_limit)
+            t_cur = jnp.where(sane, t_cur, guess)
+            tmot = se2.relative(state.t_prev, t_cur)
+
+            keydiff = se2.relative(state.kf_poses[-1], t_cur)
+            fuse = (jnp.linalg.norm(keydiff[:2]) > odo.keyframe_min_dist) \
+                | (jnp.abs(se2.normalize_angle(keydiff[2])) > rot_gate)
+            fuse = fuse | jnp.logical_not(odo.use_keyframe)
+            fuse = fuse & res.success
+
+            kfc, kfp, kfv = _push_keyframe(state, cells, t_cur)
+            fused_state = state._replace(
+                kf_cells=kfc, kf_poses=kfp, kf_valid=kfv,
+                t_prev=jnp.zeros((3,), guess.dtype),   # rebased
+                tmot=tmot,
+                distance=state.distance + jnp.linalg.norm(keydiff[:2]),
+                frame_nr=state.frame_nr + 1,
+                kf_count=state.kf_count + 1)
+            plain_state = state._replace(
+                t_prev=t_cur, tmot=tmot, frame_nr=state.frame_nr + 1)
+            new_state = _tree_select(fuse, fused_state, plain_state)
+            out = FrameOutput(
+                pose=t_cur,
+                shift=jnp.where(fuse, t_cur, jnp.zeros_like(t_cur)),
+                fused=fuse, cov=res.cov, success=res.success,
+                score=res.score, num_assoc=res.num_assoc, num_cells=cells.n)
+            return new_state, out
+
+        return jax.lax.cond(state.initialized, normal, bootstrap, None)
+
+    return step
+
+
+def make_chunk_runner(cfg: CFEARConfig):
+    """jit-compiled scan over a chunk of frames: (state, (T,A,R)) -> ..."""
+    step = make_step(cfg)
+
+    @jax.jit
+    def run_chunk(state: OdometryState, images):
+        return jax.lax.scan(step, state, images)
+
+    return run_chunk
+
+
+def compose_trajectory(outputs: FrameOutput) -> np.ndarray:
+    """Host-side f64 reconstruction of global poses from anchor-relative
+    frame outputs. Returns (T, 3) [x, y, theta] in the world frame."""
+    pose = np.asarray(outputs.pose, np.float64)
+    shift = np.asarray(outputs.shift, np.float64)
+    fused = np.asarray(outputs.fused)
+    t = pose.shape[0]
+    world = np.zeros((t, 3))
+    anchor = np.zeros(3)
+
+    def comp(a, b):
+        c, s = math.cos(a[2]), math.sin(a[2])
+        return np.array([a[0] + c * b[0] - s * b[1],
+                         a[1] + s * b[0] + c * b[1],
+                         a[2] + b[2]])
+
+    for i in range(t):
+        world[i] = comp(anchor, pose[i])
+        if fused[i]:
+            anchor = comp(anchor, shift[i])
+    return world
+
+
+class OdometryRunner:
+    """Host-side sequence driver: streams polar images through jitted chunks.
+
+    Equivalent of the offline rosbag loop (`offline_odometry.cpp:98-126`)
+    without ROS: feed uint8 polar frames, get a global f64 trajectory.
+    """
+
+    def __init__(self, cfg: CFEARConfig, chunk: int = 16, dtype=jnp.float32):
+        self.cfg = cfg
+        self.chunk = chunk
+        self.run_chunk = make_chunk_runner(cfg)
+        self.step = jax.jit(make_step(cfg))
+        self.state = init_state(cfg, dtype)
+        self.outputs: list = []
+
+    def process(self, images: np.ndarray) -> None:
+        """Process (T, A, R) uint8 frames (T need not be chunk-aligned)."""
+        t = images.shape[0]
+        n_full = (t // self.chunk) * self.chunk
+        for i in range(0, n_full, self.chunk):
+            self.state, out = self.run_chunk(
+                self.state, jnp.asarray(images[i:i + self.chunk]))
+            self.outputs.append(jax.tree.map(np.asarray, out))
+        for f in images[n_full:]:  # ragged tail: single jitted steps
+            self.state, out = self.step(self.state, jnp.asarray(f))
+            self.outputs.append(jax.tree.map(
+                lambda a: np.asarray(a)[None], out))
+
+    def trajectory(self) -> np.ndarray:
+        out = jax.tree.map(lambda *xs: np.concatenate(xs), *self.outputs)
+        self._last = out
+        return compose_trajectory(out)
+
+    def frame_outputs(self) -> FrameOutput:
+        return jax.tree.map(lambda *xs: np.concatenate(xs), *self.outputs)

@@ -1,0 +1,218 @@
+"""Oriented surface points ("cells"): the core CFEAR feature representation.
+
+TPU-first re-design of `MapPointNormal` / `cell`
+(`pointnormal.cpp:7-63,265-297`). The reference voxel-downsamples the cloud
+(leaf = res/downsample_factor), then for every voxel centroid runs a kd-tree
+radius search (r = res) over the full cloud and computes an intensity-weighted
+mean / 2x2 covariance / smallest-eigenvector normal per cell.
+
+Here the kd-tree + per-cell loops become three dense array passes:
+
+1. scatter-add points into a static voxel grid -> per-voxel unweighted
+   centroid (the voxel-grid "sample mean" of `pointnormal.cpp:277-280`);
+2. for each of the (2*noff+1)^2 neighbor offsets, test every point against
+   the neighbor voxel's centroid (exact circular radius test, identical to
+   the kd radius search) and scatter-add weighted moments into that voxel's
+   accumulator — coordinates are accumulated RELATIVE to the voxel center so
+   f32 moments stay well-conditioned;
+3. closed-form 2x2 eigendecomposition per voxel (no LAPACK), validity gates
+   (`pointnormal.cpp:53-56`), then compaction to a fixed `max_cells` budget.
+
+Weighted statistics match `cell::cell` (`pointnormal.cpp:7-36`):
+w_i = max(intensity_i - 60, 0) (or 1), normalized to sum 1;
+mean = sum w_i x_i; cov = sum w_i (x_i - mean)(x_i - mean)^T.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cfear_radarodometry_code_public_tpu.config import CFEARConfig
+from cfear_radarodometry_code_public_tpu.ops.filtering import PointCloud
+from cfear_radarodometry_code_public_tpu.utils import se2
+
+
+class CellMap(NamedTuple):
+    """Fixed-size masked set of oriented surface points (one scan)."""
+
+    mean: jax.Array        # (M, 2) float32 — weighted mean, sensor-local frame
+    normal: jax.Array      # (M, 2) float32 — unit normal (toward sensor)
+    cov: jax.Array         # (M, 2, 2) float32
+    nsamples: jax.Array    # (M,) float32 — points inside the search radius
+    planarity: jax.Array   # (M,) float32 — scale_ = log(1 + cond/2)
+    valid: jax.Array       # (M,) bool
+
+    @property
+    def n(self) -> jax.Array:
+        return jnp.sum(self.valid)
+
+
+def _grid_geometry(cfg: CFEARConfig):
+    """Static voxel-grid geometry for the feature stage."""
+    leaf = cfg.feature.res / cfg.feature.downsample_factor
+    half = int(math.ceil(cfg.radar.max_usable_range / leaf)) + 2
+    dim = 2 * half
+    noff = int(math.ceil(cfg.feature.res / leaf))
+    return leaf, dim, noff
+
+
+def _eig2x2_min(a, b, c):
+    """Eigen-pair of symmetric [[a, b], [b, c]]: (lmin, lmax, evec_min).
+
+    Closed form; evec picked from the better-conditioned column of
+    (A - lmin I)'s adjugate to stay stable when b ~ 0.
+    """
+    half_tr = 0.5 * (a + c)
+    disc = jnp.sqrt(jnp.maximum(0.25 * (a - c) ** 2 + b * b, 0.0))
+    lmin = half_tr - disc
+    lmax = half_tr + disc
+    v1 = jnp.stack([lmin - c, b], -1)       # rows of (A - lmax I) ~ evec of lmin
+    v2 = jnp.stack([b, lmin - a], -1)
+    n1 = jnp.sum(v1 * v1, -1)
+    n2 = jnp.sum(v2 * v2, -1)
+    v = jnp.where((n1 >= n2)[..., None], v1, v2)
+    vn = jnp.sum(v * v, -1, keepdims=True)
+    # degenerate (isotropic) covariance: fall back to x-axis
+    v = jnp.where(vn > 1e-20, v * jax.lax.rsqrt(jnp.maximum(vn, 1e-20)),
+                  jnp.stack([jnp.ones_like(a), jnp.zeros_like(a)], -1))
+    return lmin, lmax, v
+
+
+def compute_cells(points: PointCloud, cfg: CFEARConfig) -> CellMap:
+    """Point cloud -> oriented surface points (sensor-local frame)."""
+    feat = cfg.feature
+    leaf, dim, noff = _grid_geometry(cfg)
+    ncells = dim * dim
+    xy = points.xy
+    n_pts = xy.shape[0]
+    valid = points.valid
+
+    # --- stage 1: voxel centroids (unweighted, like pcl::VoxelGrid) ---
+    vidx = jnp.floor(xy / leaf).astype(jnp.int32) + dim // 2
+    in_grid = valid & jnp.all((vidx >= 0) & (vidx < dim), axis=-1)
+    vid = jnp.where(in_grid, vidx[:, 0] * dim + vidx[:, 1], ncells)  # overflow slot
+    ones = in_grid.astype(jnp.float32)
+    cnt_vox = jax.ops.segment_sum(ones, vid, num_segments=ncells + 1)[:ncells]
+    sum_vox = jax.ops.segment_sum(xy * ones[:, None], vid,
+                                  num_segments=ncells + 1)[:ncells]
+    centroid = sum_vox / jnp.maximum(cnt_vox, 1.0)[:, None]
+    occupied = cnt_vox >= 1.0
+
+    # static voxel centers for relative-coordinate accumulation
+    ii = jnp.arange(dim, dtype=jnp.float32) - dim // 2 + 0.5
+    vc_x = jnp.repeat(ii, dim) * leaf           # (ncells,)
+    vc_y = jnp.tile(ii, dim) * leaf
+
+    # --- stage 2: weighted moments per candidate cell ---
+    if feat.weight_intensity:
+        w_pt = jnp.maximum(points.intensity - feat.intensity_floor, 0.0)
+    else:
+        w_pt = jnp.ones_like(points.intensity)
+
+    offsets = [(dx, dy) for dx in range(-noff, noff + 1)
+               for dy in range(-noff, noff + 1)]
+    tgt_ids = []
+    members = []
+    rels = []
+    for dx, dy in offsets:
+        tx = vidx[:, 0] + dx
+        ty = vidx[:, 1] + dy
+        ok = in_grid & (tx >= 0) & (tx < dim) & (ty >= 0) & (ty < dim)
+        tid = jnp.where(ok, tx * dim + ty, ncells)
+        c = centroid[jnp.clip(tid, 0, ncells - 1)]
+        d2 = jnp.sum((xy - c) ** 2, axis=-1)
+        member = ok & occupied[jnp.clip(tid, 0, ncells - 1)] \
+            & (d2 <= feat.res * feat.res)
+        rel = xy - jnp.stack([vc_x, vc_y], -1)[jnp.clip(tid, 0, ncells - 1)]
+        tgt_ids.append(jnp.where(member, tid, ncells))
+        members.append(member)
+        rels.append(rel)
+
+    tid_all = jnp.concatenate(tgt_ids)                    # (n_off * N,)
+    mem_all = jnp.concatenate(members).astype(jnp.float32)
+    rel_all = jnp.concatenate(rels)
+    w_all = jnp.tile(w_pt, len(offsets)) * mem_all
+
+    rx, ry = rel_all[:, 0], rel_all[:, 1]
+    data = jnp.stack(
+        [mem_all,                       # raw sample count
+         w_all,                         # S0
+         w_all * rx, w_all * ry,        # S1
+         w_all * rx * rx, w_all * rx * ry, w_all * ry * ry],  # S2
+        axis=-1)
+    acc = jax.ops.segment_sum(data, tid_all, num_segments=ncells + 1)[:ncells]
+    nsamp, s0 = acc[:, 0], acc[:, 1]
+
+    safe_s0 = jnp.maximum(s0, 1e-12)
+    mx, my = acc[:, 2] / safe_s0, acc[:, 3] / safe_s0
+    cxx = acc[:, 4] / safe_s0 - mx * mx
+    cxy = acc[:, 5] / safe_s0 - mx * my
+    cyy = acc[:, 6] / safe_s0 - my * my
+
+    # --- stage 3: normals + validity gates (`pointnormal.cpp:37-62`) ---
+    lmin, lmax, nvec = _eig2x2_min(cxx, cxy, cyy)
+    cond = jnp.abs(lmax / jnp.where(lmin == 0.0, 1e-30, lmin))
+    det = lmax * lmin
+    cell_ok = (
+        occupied
+        & (nsamp >= feat.min_samples)
+        & (s0 > 0.0)
+        & (cond <= feat.cond_max)
+        & (det > feat.det_min)
+        & (lmin > 0.0)
+        & (lmax > 0.0)
+    )
+    mean = jnp.stack([mx + vc_x, my + vc_y], -1)
+    # flip normal toward the sensor origin (`pointnormal.cpp:59-61`)
+    flip = jnp.sum(nvec * (0.0 - mean), -1) < 0.0
+    nvec = jnp.where(flip[:, None], -nvec, nvec)
+    planarity = jnp.log1p(cond / 2.0)
+
+    # --- compaction to the fixed cell budget ---
+    m = feat.max_cells
+    order = jnp.argsort(~cell_ok, stable=True)            # valid cells first
+    take = order[:m]
+    kept_valid = cell_ok[take]
+    cov = jnp.stack([jnp.stack([cxx, cxy], -1), jnp.stack([cxy, cyy], -1)], -2)
+    return CellMap(
+        mean=jnp.where(kept_valid[:, None], mean[take], 0.0),
+        normal=jnp.where(kept_valid[:, None], nvec[take], 0.0),
+        cov=jnp.where(kept_valid[:, None, None], cov[take], 0.0),
+        nsamples=jnp.where(kept_valid, nsamp[take], 0.0),
+        planarity=jnp.where(kept_valid, planarity[take], 0.0),
+        valid=kept_valid,
+    )
+
+
+def transform_cells(cells: CellMap, pose) -> CellMap:
+    """Rigid-transform a cell map by an SE(2) pose.
+
+    Equivalent of `cell::TransformCopy` (`pointnormal.cpp:515-529`) with the
+    mathematically correct covariance rotation R Sigma R^T (the reference's
+    line 517 contains a typo'd `R*T*cov_*R.transpose()`; see SURVEY.md §2.1).
+    """
+    R = se2.rotmat(pose[..., 2])
+    mean = se2.transform(pose, cells.mean)
+    normal = se2.rotate(pose, cells.normal)
+    cov = jnp.einsum("...ij,...njk,...lk->...nil", R, cells.cov, R)
+    return cells._replace(mean=mean, normal=normal, cov=cov)
+
+
+def compensate_cells(cells: CellMap, tmot, ccw: bool) -> CellMap:
+    """Motion-compensate cell means/normals by per-cell relative scan time.
+
+    Equivalent of `MapPointNormal::Compensate` (`pointnormal.cpp:113-133`).
+    """
+    d = se2.rel_timestamp(cells.mean, ccw)
+    ang = d * tmot[..., None, 2]
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    R = jnp.stack([jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], -2)
+    mean = jnp.einsum("...nij,...nj->...ni", R, cells.mean) \
+        + d[..., None] * tmot[..., None, :2]
+    normal = jnp.einsum("...nij,...nj->...ni", R, cells.normal)
+    cov = jnp.einsum("...nij,...njk,...nlk->...nil", R, cells.cov, R)
+    return cells._replace(mean=mean, normal=normal, cov=cov)

@@ -1,0 +1,81 @@
+"""Robust loss functions with Ceres semantics.
+
+rho(s) operates on the SQUARED residual norm s = ||r||^2 and returns
+(rho(s), rho'(s)), matching ceres::LossFunction::Evaluate out[0], out[1]
+(see `registration.cpp:78-97` for which losses the reference constructs).
+The IRLS Gauss-Newton weight for an association is w_assoc * rho'(s).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _huber(s, a):
+    b = a * a
+    big = s > b
+    sq = jnp.sqrt(jnp.maximum(s, 1e-30))
+    rho = jnp.where(big, 2.0 * a * sq - b, s)
+    drho = jnp.where(big, a / sq, jnp.ones_like(s))
+    return rho, drho
+
+
+def _cauchy(s, a):
+    b = a * a
+    rho = b * jnp.log1p(s / b)
+    drho = 1.0 / (1.0 + s / b)
+    return rho, drho
+
+
+def _soft_l_one(s, a):
+    b = a * a
+    t = jnp.sqrt(1.0 + s / b)
+    return 2.0 * b * (t - 1.0), 1.0 / t
+
+
+def _tukey(s, a):
+    b = a * a
+    t = jnp.maximum(1.0 - s / b, 0.0)
+    rho = b / 3.0 * (1.0 - t ** 3)
+    return rho, t * t
+
+
+def rho(s, loss: str, limit: float):
+    """(rho(s), rho'(s)) for the configured loss."""
+    if loss == "None":
+        return s, jnp.ones_like(s)
+    if loss == "Huber":
+        return _huber(s, limit)
+    if loss == "Cauchy":
+        return _cauchy(s, limit)
+    if loss == "SoftLOne":
+        return _soft_l_one(s, limit)
+    if loss == "Tukey":
+        return _tukey(s, limit)
+    if loss == "Combined":
+        # ceres::ComposedLoss(Huber(1), Cauchy(1)): rho = f(g(s))
+        g, dg = _cauchy(s, 1.0)
+        f, df = _huber(g, 1.0)
+        return f, df * dg
+    raise ValueError(f"unknown loss '{loss}'")
+
+
+def similarity(x, y):
+    """2 min(x, y) / (x + y) (`registration.h:96`)."""
+    return 2.0 * jnp.minimum(x, y) / jnp.maximum(x + y, 1e-12)
+
+
+def association_weight(opt: str, n_src, n_tar, sim_dir, plan_src, plan_tar):
+    """Residual weight per association (`registration.cpp:67-76`)."""
+    if opt == "Uniform":
+        return jnp.ones_like(sim_dir)
+    if opt == "Sim_N":
+        return similarity(n_src, n_tar)
+    if opt == "Sim_direction":
+        return sim_dir
+    if opt == "Sim_scale":
+        return similarity(plan_src, plan_tar)
+    if opt == "Combined":
+        return (similarity(n_src, n_tar) + sim_dir
+                + similarity(plan_src, plan_tar))
+    raise ValueError(f"unknown weight option '{opt}'")

@@ -1,0 +1,112 @@
+import numpy as np
+import jax.numpy as jnp
+
+from cfear_radarodometry_code_public_tpu.config import preset
+from cfear_radarodometry_code_public_tpu.ops import filtering
+
+from oracles import kstrongest_oracle, nms_peaks_oracle, points_oracle
+
+
+def _cfg(k=8, z_min=60, n_az=64, n_bins=256):
+    cfg = preset("CFEAR-3", dataset="synthetic")
+    import dataclasses
+    radar = dataclasses.replace(cfg.radar, n_azimuths=n_az, n_bins=n_bins,
+                                range_res=0.5)
+    filt = dataclasses.replace(cfg.filter, k_strongest=k, z_min=z_min)
+    return cfg.replace(radar=radar, filter=filt)
+
+
+def rand_image(rng, a, r):
+    img = rng.integers(0, 80, (a, r), dtype=np.int64)
+    # sprinkle strong returns
+    for _ in range(a * 4):
+        az, b = rng.integers(0, a), rng.integers(0, r)
+        img[az, b] = rng.integers(60, 256)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_kstrongest_matches_oracle():
+    rng = np.random.default_rng(0)
+    cfg = _cfg()
+    img = rand_image(rng, 64, 256)
+    bins, valid = filtering.kstrongest_mask(jnp.asarray(img),
+                                            cfg.filter.k_strongest,
+                                            cfg.filter.z_min)
+    bins, valid = np.asarray(bins), np.asarray(valid)
+    expect = kstrongest_oracle(img, cfg.filter.k_strongest, cfg.filter.z_min)
+    for az in range(64):
+        got = sorted(bins[az][valid[az]].tolist())
+        assert got == expect[az], f"azimuth {az}"
+
+
+def test_kstrongest_tie_break_prefers_larger_bin():
+    cfg = _cfg(k=2, z_min=60)
+    img = np.zeros((64, 256), np.uint8)
+    img[0, [10, 20, 30]] = 100          # three equal: keep the two largest bins
+    bins, valid = filtering.kstrongest_mask(jnp.asarray(img), 2, 60)
+    got = sorted(np.asarray(bins)[0][np.asarray(valid)[0]].tolist())
+    assert got == [20, 30]
+
+
+def test_nms_peaks_match_oracle():
+    rng = np.random.default_rng(1)
+    cfg = _cfg()
+    img = rand_image(rng, 64, 256)
+    k, z = cfg.filter.k_strongest, cfg.filter.z_min
+    bins, valid = filtering.kstrongest_mask(jnp.asarray(img), k, z)
+    peak_img = np.asarray(filtering.nms_peak_image(jnp.asarray(img), 3))
+    kept = kstrongest_oracle(img, k, z)
+    expect = nms_peaks_oracle(img, kept, 3)
+    bins, valid = np.asarray(bins), np.asarray(valid)
+    for az in range(64):
+        got = sorted(b for b, v in zip(bins[az], valid[az])
+                     if v and peak_img[az, b])
+        assert got == expect[az], f"azimuth {az}"
+
+
+def test_full_filter_points_match_oracle():
+    rng = np.random.default_rng(2)
+    cfg = _cfg()
+    img = rand_image(rng, 64, 256)
+    pc = filtering.filter_polar_image(jnp.asarray(img), cfg)
+    xy = np.asarray(pc.xy)[np.asarray(pc.valid)]
+    inten = np.asarray(pc.intensity)[np.asarray(pc.valid)]
+    kept = kstrongest_oracle(img, cfg.filter.k_strongest, cfg.filter.z_min)
+    expect = points_oracle(img, kept, cfg.radar.range_res,
+                           cfg.radar.min_distance)
+    got = np.stack([xy[:, 0], xy[:, 1], inten], -1)
+
+    def canon(a):  # stable sort on rounded keys to tolerate f32 jitter
+        key = np.round(a, 3)
+        return a[np.lexsort((key[:, 2], key[:, 1], key[:, 0]))]
+
+    got_sorted, exp_sorted = canon(got), canon(expect)
+    assert got_sorted.shape == exp_sorted.shape
+    np.testing.assert_allclose(got_sorted, exp_sorted, atol=2e-3)
+
+
+def test_cacfar_borders_no_detection():
+    cfg = _cfg()
+    import dataclasses
+    filt = dataclasses.replace(cfg.filter, method="cacfar", cfar_window=8,
+                               cfar_guard=2)
+    cfg = cfg.replace(filter=filt)
+    img = np.full((64, 256), 200, np.uint8)   # uniform -> no CFAR exceedance
+    mask = np.asarray(filtering.cacfar_mask(jnp.asarray(img), cfg))
+    assert not mask.any()
+    # isolated strong point in noise floor -> detected
+    img2 = np.full((64, 256), 10, np.uint8)
+    img2[5, 100] = 250
+    mask2 = np.asarray(filtering.cacfar_mask(jnp.asarray(img2), cfg))
+    assert mask2[5, 100]
+    assert mask2.sum() == 1
+
+
+def test_min_range_gate():
+    cfg = _cfg()
+    img = np.zeros((64, 256), np.uint8)
+    img[0, 2] = 200     # bin 2 -> range 1.25 m < min_distance 2.5 (res 0.5)
+    img[0, 100] = 200
+    pc = filtering.filter_polar_image(jnp.asarray(img), cfg)
+    valid = np.asarray(pc.valid)
+    assert valid.sum() == 1
