@@ -1,0 +1,110 @@
+"""Benchmark: radar odometry frames/s/chip on the flagship configuration.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` is the real-time multiple — the reference sensor runs at 4 Hz
+(`odometrykeyframefuser.h:213`) and the reference claims real-time (~1x) on a
+laptop CPU, so vs_baseline = fps / 4.0. The north-star target is > 10x
+(BASELINE.md).
+
+Runs the full per-frame pipeline (k-strongest filter -> oriented surface
+points -> multi-keyframe GN registration -> keyframe fuse) at Oxford sensor
+scale (400 azimuths x 3768 bins, k=40, CFEAR-3 parameters) on synthetic
+radar data, scanned in chunks on one chip.
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small config on CPU (smoke test)")
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--check-drift", action="store_true",
+                    help="also report synthetic drift to stderr")
+    args = ap.parse_args()
+
+    if args.quick:
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    if args.quick:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from cfear_radarodometry_code_public_tpu.config import preset
+    from cfear_radarodometry_code_public_tpu.datasets import synthetic
+    from cfear_radarodometry_code_public_tpu.models import odometry
+
+    if args.quick:
+        cfg = preset("CFEAR-3", dataset="synthetic")
+        cfg = cfg.replace(
+            radar=dataclasses.replace(cfg.radar, n_azimuths=128, n_bins=256,
+                                      range_res=0.6, max_distance=100.0),
+            feature=dataclasses.replace(cfg.feature, max_cells=256),
+            filter=dataclasses.replace(cfg.filter, k_strongest=8))
+    else:
+        # Oxford-scale flagship config (CFEAR-3)
+        cfg = preset("CFEAR-3", dataset="oxford")
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}, config: {cfg.name} "
+          f"A={cfg.radar.n_azimuths} R={cfg.radar.n_bins} "
+          f"k={cfg.filter.k_strongest} cells={cfg.feature.max_cells}",
+          file=sys.stderr)
+
+    t0 = time.time()
+    sim_cfg = cfg if args.quick else cfg.replace(
+        radar=dataclasses.replace(cfg.radar, dataset="oxford"))
+    images, gt = synthetic.make_sequence(seed=1, n_frames=args.frames,
+                                         cfg=sim_cfg, speed=6.0)
+    print(f"synthetic render: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    run_chunk = odometry.make_chunk_runner(cfg)
+    state0 = odometry.init_state(cfg)
+
+    # warm-up / compile
+    t0 = time.time()
+    state, out = run_chunk(state0, jnp.asarray(images[:args.chunk]))
+    jax.block_until_ready(out.pose)
+    print(f"compile+first chunk: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # timed: scan the whole sequence, several repeats
+    n_timed = (args.frames // args.chunk) * args.chunk
+    t0 = time.time()
+    for _ in range(args.repeats):
+        state = state0
+        for i in range(0, n_timed, args.chunk):
+            state, out = run_chunk(state, jnp.asarray(images[i:i + args.chunk]))
+        jax.block_until_ready(out.pose)
+    dt = time.time() - t0
+    fps = args.repeats * n_timed / dt
+    print(f"{args.repeats * n_timed} frames in {dt:.2f}s", file=sys.stderr)
+
+    if args.check_drift:
+        from cfear_radarodometry_code_public_tpu.eval.kitti import kitti_drift
+        runner = odometry.OdometryRunner(cfg, chunk=args.chunk)
+        runner.process(images)
+        traj = runner.trajectory()
+        res = kitti_drift(traj, gt, step_size=5, lengths=(50.0, 100.0))
+        print(f"synthetic drift: {res['t_err_percent']:.3f}% "
+              f"({res['n_subsequences']} subseqs)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "radar_odometry_frames_per_s_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 4.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from cfear_radarodometry_code_public_tpu.config import preset
+from cfear_radarodometry_code_public_tpu.datasets import synthetic
+from cfear_radarodometry_code_public_tpu.eval.kitti import kitti_drift
+from cfear_radarodometry_code_public_tpu.eval.trajectory import ate_rmse
+from cfear_radarodometry_code_public_tpu.models import odometry
+
+
+def _cfg(**kw):
+    cfg = preset("CFEAR-3", dataset="synthetic")
+    feat = dataclasses.replace(cfg.feature, max_cells=512)
+    filt = dataclasses.replace(cfg.filter, k_strongest=12)
+    cfg = cfg.replace(feature=feat, filter=filt)
+    if kw:
+        cfg = cfg.replace(odometry=dataclasses.replace(cfg.odometry, **kw))
+    return cfg
+
+
+def test_end_to_end_tracks_ground_truth():
+    cfg = _cfg()
+    images, gt = synthetic.make_sequence(seed=3, n_frames=30, cfg=cfg)
+    runner = odometry.OdometryRunner(cfg, chunk=8)
+    runner.process(images)
+    traj = runner.trajectory()
+    assert traj.shape == (30, 3)
+    out = runner.frame_outputs()
+    assert bool(out.success.all())
+    assert ate_rmse(traj[:, :2], gt[:, :2]) < 0.5
+    # heading error stays small
+    dth = np.abs(np.arctan2(np.sin(traj[:, 2] - gt[:, 2]),
+                            np.cos(traj[:, 2] - gt[:, 2])))
+    assert dth.max() < 0.05
+
+
+def test_keyframe_gating():
+    cfg = _cfg()
+    images, gt = synthetic.make_sequence(seed=5, n_frames=20, cfg=cfg,
+                                         speed=2.0)
+    runner = odometry.OdometryRunner(cfg, chunk=8)
+    runner.process(images)
+    out = runner.frame_outputs()
+    fused = np.asarray(out.fused)
+    assert fused[0]                     # bootstrap frame is a keyframe
+    # at 2 m/s * 0.25 s = 0.5 m/frame, a keyframe every ~3-4 frames
+    assert 3 <= fused.sum() <= 12
+
+
+def test_stationary_sensor_no_keyframes():
+    cfg = _cfg()
+    rng = np.random.default_rng(0)
+    world = synthetic.make_world(rng)
+    img = synthetic.render_polar(world, np.zeros(3), cfg, rng)
+    images = np.stack([img] * 6)
+    runner = odometry.OdometryRunner(cfg, chunk=6)
+    runner.process(images)
+    out = runner.frame_outputs()
+    traj = runner.trajectory()
+    assert out.fused.sum() == 1         # only the bootstrap keyframe
+    assert np.abs(traj[:, :2]).max() < 0.2
+
+
+def test_chunked_equals_unchunked():
+    cfg = _cfg()
+    images, _ = synthetic.make_sequence(seed=9, n_frames=12, cfg=cfg)
+    r1 = odometry.OdometryRunner(cfg, chunk=4)
+    r1.process(images)
+    r2 = odometry.OdometryRunner(cfg, chunk=12)
+    r2.process(images)
+    np.testing.assert_allclose(r1.trajectory(), r2.trajectory(),
+                               atol=1e-5)
+
+
+def test_anchor_rebase_keeps_device_poses_small():
+    cfg = _cfg()
+    images, gt = synthetic.make_sequence(seed=11, n_frames=25, cfg=cfg,
+                                         speed=8.0)
+    runner = odometry.OdometryRunner(cfg, chunk=5)
+    runner.process(images)
+    out = runner.frame_outputs()
+    # all on-device poses stay within the submap scale even though the
+    # trajectory is ~50 m long
+    assert np.abs(np.asarray(out.pose)[:, :2]).max() < 20.0
+    traj = runner.trajectory()
+    assert np.linalg.norm(traj[-1, :2]) > 25.0   # but the world pose grows
+
+
+def test_drift_metric_on_long_sequence():
+    cfg = _cfg()
+    images, gt = synthetic.make_sequence(seed=13, n_frames=120, cfg=cfg,
+                                         speed=7.0)
+    runner = odometry.OdometryRunner(cfg, chunk=16)
+    runner.process(images)
+    traj = runner.trajectory()
+    res = kitti_drift(traj, gt, step_size=5, lengths=(50.0, 100.0))
+    assert res["n_subsequences"] > 5
+    # coarse synthetic sensor (0.175 m bins, k=12): guard against regression
+    assert res["t_err_percent"] < 3.0, res

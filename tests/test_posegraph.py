@@ -1,0 +1,107 @@
+import numpy as np
+import jax.numpy as jnp
+
+from cfear_radarodometry_code_public_tpu.models import posegraph
+from cfear_radarodometry_code_public_tpu.utils import se2
+
+
+def _noisy_ring_graph(rng, n=40, loop=True, noise=0.05):
+    """Ground-truth ring of poses; odometry edges with noise + one loop edge."""
+    gt = np.zeros((n, 3))
+    for i in range(1, n):
+        step = np.array([2.0, 0.0, 2 * np.pi / n])
+        gt[i] = np.asarray(se2.compose(jnp.asarray(gt[i - 1]),
+                                       jnp.asarray(step)))
+    gb = posegraph.GraphBuilder()
+    # initialize nodes from noisy odometry integration
+    est = np.zeros((n, 3))
+    meas = []
+    for i in range(1, n):
+        t = np.asarray(se2.relative(jnp.asarray(gt[i - 1]), jnp.asarray(gt[i])))
+        t_noisy = t + rng.normal(0, noise, 3) * np.array([1, 1, 0.3])
+        meas.append(t_noisy)
+        est[i] = np.asarray(se2.compose(jnp.asarray(est[i - 1]),
+                                        jnp.asarray(t_noisy)))
+    for i in range(n):
+        gb.add_node(est[i], stamp=i * 0.25)
+    info = np.eye(3) * np.array([100.0, 100.0, 400.0])
+    for i in range(1, n):
+        gb.edges.append((i - 1, i, meas[i - 1], info, posegraph.ODOMETRY))
+    if loop:
+        t_loop = np.asarray(se2.relative(jnp.asarray(gt[-1]),
+                                         jnp.asarray(gt[0])))
+        gb.add_loop_edge(n - 1, 0, t_loop, np.linalg.inv(info * 10))
+    return gb, gt
+
+
+def test_optimize_reduces_cost_and_closes_loop():
+    rng = np.random.default_rng(0)
+    gb, gt = _noisy_ring_graph(rng)
+    graph = gb.to_arrays()
+    c0 = float(posegraph.total_cost(graph))
+    opt, cost = posegraph.optimize(graph, iters=15, cg_iters=80)
+    c1 = float(posegraph.total_cost(opt))
+    assert c1 < c0 * 0.5
+    # loop closure pulls the end of the chain back toward the start
+    est = np.asarray(opt.poses)
+    init = np.asarray(graph.poses)
+    gap_init = np.linalg.norm(init[-1, :2] - gt[-1, :2])
+    gap_opt = np.linalg.norm(est[-1, :2] - gt[-1, :2])
+    assert gap_opt < gap_init
+
+
+def test_perfect_measurements_zero_cost():
+    rng = np.random.default_rng(1)
+    gb, gt = _noisy_ring_graph(rng, noise=0.0)
+    graph = gb.to_arrays()
+    assert float(posegraph.total_cost(graph)) < 1e-6
+
+
+def test_gauge_fixed_first_node():
+    rng = np.random.default_rng(2)
+    gb, _ = _noisy_ring_graph(rng)
+    graph = gb.to_arrays()
+    opt, _ = posegraph.optimize(graph, iters=5)
+    np.testing.assert_allclose(np.asarray(opt.poses)[0],
+                               np.asarray(graph.poses)[0], atol=1e-6)
+
+
+def test_padding_edges_masked():
+    rng = np.random.default_rng(3)
+    gb, _ = _noisy_ring_graph(rng, n=10, loop=False)
+    g1 = gb.to_arrays()
+    g2 = gb.to_arrays(max_edges=32)        # padded
+    np.testing.assert_allclose(float(posegraph.total_cost(g1)),
+                               float(posegraph.total_cost(g2)), rtol=1e-6)
+
+
+def test_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(4)
+    gb, _ = _noisy_ring_graph(rng, n=8)
+    path = str(tmp_path / "graph.npz")
+    gb.save(path)
+    gb2 = posegraph.GraphBuilder.load(path)
+    assert len(gb2.poses) == len(gb.poses)
+    assert len(gb2.edges) == len(gb.edges)
+    np.testing.assert_allclose(np.stack(gb2.poses), np.stack(gb.poses))
+    np.testing.assert_allclose(gb2.edges[0][2], gb.edges[0][2])
+
+
+def test_distributed_matches_single_device():
+    import jax
+    from cfear_radarodometry_code_public_tpu.parallel import pgo
+    from cfear_radarodometry_code_public_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(5)
+    gb, _ = _noisy_ring_graph(rng)
+    graph = gb.to_arrays()
+    single, cost_s = posegraph.optimize(graph, iters=8, cg_iters=60)
+    mesh = make_mesh(8)
+    dist, cost_d = pgo.distributed_optimize(graph, mesh, iters=8, cg_iters=60)
+    # f32 psum ordering differs from the single-device reduction; require the
+    # same optimum, not bit-identical iterates
+    np.testing.assert_allclose(np.asarray(dist.poses),
+                               np.asarray(single.poses), atol=3e-2)
+    c_s = float(posegraph.total_cost(single))
+    c_d = float(posegraph.total_cost(dist))
+    assert abs(c_s - c_d) < 0.05 * max(c_s, 1e-6)

@@ -1,0 +1,193 @@
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cfear_radarodometry_code_public_tpu.config import preset
+from cfear_radarodometry_code_public_tpu.ops import features, losses, registration
+from cfear_radarodometry_code_public_tpu.ops.filtering import PointCloud
+from cfear_radarodometry_code_public_tpu.utils import se2
+
+
+def _cfg(cost="P2L", loss="Huber", weight_opt="Combined", soft=False,
+         max_cells=256):
+    cfg = preset("CFEAR-3", dataset="synthetic")
+    feat = dataclasses.replace(cfg.feature, res=3.0, max_cells=max_cells)
+    reg = dataclasses.replace(cfg.registration, cost=cost, loss=loss,
+                              weight_opt=weight_opt, soft_constraint=soft)
+    radar = dataclasses.replace(cfg.radar, max_distance=80.0)
+    return cfg.replace(feature=feat, registration=reg, radar=radar)
+
+
+def _world_cloud(rng, n=800):
+    """Structured world: points along several walls (gives useful normals)."""
+    pts = []
+    for _ in range(10):
+        p0 = rng.uniform(-50, 50, 2)
+        ang = rng.uniform(0, 2 * np.pi)
+        t = np.linspace(0, rng.uniform(15, 40), 80)
+        wall = p0 + np.stack([np.cos(ang) * t, np.sin(ang) * t], -1)
+        pts.append(wall + rng.normal(0, 0.08, wall.shape))
+    xy = np.concatenate(pts)[:n]
+    intens = rng.uniform(100, 220, len(xy))
+    return xy, intens
+
+
+def _cells_from_world(xy, intens, pose_xyt, cfg, budget=2048):
+    """Observe world points from a sensor pose -> local cells."""
+    inv = np.asarray(se2.inverse(jnp.asarray(pose_xyt, jnp.float32)))
+    c, s = np.cos(inv[2]), np.sin(inv[2])
+    local = xy @ np.array([[c, s], [-s, c]]) + inv[:2]
+    keep = np.linalg.norm(local, axis=1) < 75.0
+    local, w = local[keep], intens[keep]
+    n = len(local)
+    pad = budget - n
+    pc = PointCloud(
+        xy=jnp.asarray(np.concatenate([local, np.zeros((pad, 2))]),
+                       jnp.float32),
+        intensity=jnp.asarray(np.concatenate([w, np.zeros(pad)]), jnp.float32),
+        valid=jnp.asarray(np.concatenate([np.ones(n, bool),
+                                          np.zeros(pad, bool)])),
+        peak=jnp.asarray(np.concatenate([np.ones(n, bool),
+                                         np.zeros(pad, bool)])),
+    )
+    return features.compute_cells(pc, cfg)
+
+
+def _stack_keyframes(cells_list):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *cells_list)
+
+
+def _register_case(cost, loss, weight_opt, true_pose, guess_offset,
+                   soft=False, n_kf=2):
+    rng = np.random.default_rng(42)
+    cfg = _cfg(cost, loss, weight_opt, soft)
+    xy, intens = _world_cloud(rng)
+    kf_poses_np = [np.zeros(3)]
+    if n_kf > 1:
+        kf_poses_np.append(np.array([1.5, 0.3, 0.04]))
+    kf_cells = _stack_keyframes(
+        [_cells_from_world(xy, intens, p, cfg) for p in kf_poses_np])
+    kf_poses = jnp.asarray(np.stack(kf_poses_np), jnp.float32)
+    kf_valid = jnp.ones(len(kf_poses_np), bool)
+    src = _cells_from_world(xy, intens, true_pose, cfg)
+    guess = jnp.asarray(true_pose + guess_offset, jnp.float32)
+    res = registration.register(kf_cells, kf_poses, kf_valid, src, guess,
+                                cfg=cfg)
+    return res, true_pose
+
+
+def test_recovers_known_transform_p2l():
+    true = np.array([3.0, 1.0, 0.08])
+    res, _ = _register_case("P2L", "Huber", "Combined", true,
+                            np.array([0.4, -0.3, 0.03]))
+    assert bool(res.success)
+    np.testing.assert_allclose(np.asarray(res.pose), true, atol=0.03)
+
+
+def test_recovers_known_transform_p2p():
+    true = np.array([2.0, -1.5, -0.05])
+    res, _ = _register_case("P2P", "Huber", "Uniform", true,
+                            np.array([-0.5, 0.2, -0.02]))
+    assert bool(res.success)
+    np.testing.assert_allclose(np.asarray(res.pose), true, atol=0.03)
+
+
+def test_recovers_known_transform_p2d():
+    true = np.array([1.0, 2.0, 0.03])
+    res, _ = _register_case("P2D", "Huber", "Combined", true,
+                            np.array([0.3, 0.3, 0.02]))
+    assert bool(res.success)
+    np.testing.assert_allclose(np.asarray(res.pose), true, atol=0.05)
+
+
+def test_all_losses_converge():
+    true = np.array([1.0, 0.5, 0.02])
+    for loss in ("None", "Huber", "Cauchy", "SoftLOne", "Tukey", "Combined"):
+        res, _ = _register_case("P2L", loss, "Uniform", true,
+                                np.array([0.2, -0.2, 0.01]))
+        assert bool(res.success), loss
+        np.testing.assert_allclose(np.asarray(res.pose), true, atol=0.05,
+                                   err_msg=loss)
+
+
+def test_soft_constraint_pulls_to_guess():
+    # with a very tight prior the solution must stay near the guess
+    true = np.array([1.0, 0.0, 0.0])
+    rng = np.random.default_rng(1)
+    cfg = _cfg("P2L", soft=True)
+    xy, intens = _world_cloud(rng)
+    kf_cells = _stack_keyframes(
+        [_cells_from_world(xy, intens, np.zeros(3), cfg)])
+    src = _cells_from_world(xy, intens, true, cfg)
+    guess = jnp.asarray([1.3, 0.2, 0.01], jnp.float32)
+    tight = jnp.eye(3) * 1e-8
+    res = registration.register(kf_cells, jnp.zeros((1, 3)), jnp.ones(1, bool),
+                                src, guess, reg_cov_guess=tight, cfg=cfg)
+    assert np.linalg.norm(np.asarray(res.pose) - np.asarray(guess)) < 0.05
+
+
+def test_no_valid_targets_fails_gracefully():
+    cfg = _cfg("P2L")
+    rng = np.random.default_rng(2)
+    xy, intens = _world_cloud(rng)
+    src = _cells_from_world(xy, intens, np.zeros(3), cfg)
+    empty = jax.tree.map(lambda a: jnp.zeros_like(a[None]), src)
+    res = registration.register(empty, jnp.zeros((1, 3)),
+                                jnp.zeros(1, bool), src,
+                                jnp.zeros(3, jnp.float32), cfg=cfg)
+    assert not bool(res.success)
+    assert np.isfinite(np.asarray(res.pose)).all()
+
+
+def test_covariance_sane():
+    true = np.array([2.0, 1.0, 0.05])
+    res, _ = _register_case("P2L", "Huber", "Combined", true,
+                            np.array([0.2, 0.2, 0.01]))
+    cov = np.asarray(res.cov)
+    assert np.all(np.linalg.eigvalsh(cov) > 0)
+    assert np.all(np.diag(cov) < 1.0)       # well-constrained problem
+
+
+def test_loss_functions_ceres_semantics():
+    s = jnp.asarray([0.0025, 0.25, 4.0])
+    # Huber(0.1): s <= 0.01 -> s ; else 2*0.1*sqrt(s) - 0.01
+    r, dr = losses.rho(s, "Huber", 0.1)
+    np.testing.assert_allclose(np.asarray(r),
+                               [0.0025, 2 * 0.1 * 0.5 - 0.01,
+                                2 * 0.1 * 2 - 0.01], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dr), [1.0, 0.1 / 0.5, 0.1 / 2.0],
+                               rtol=1e-6)
+    # Cauchy(1): rho = log(1+s)
+    r, dr = losses.rho(s, "Cauchy", 1.0)
+    np.testing.assert_allclose(np.asarray(r), np.log1p([0.0025, 0.25, 4.0]),
+                               rtol=1e-6)
+
+
+def test_weight_options():
+    w = losses.association_weight("Sim_N", jnp.asarray(10.0), jnp.asarray(30.0),
+                                  jnp.asarray(0.9), jnp.asarray(1.0),
+                                  jnp.asarray(2.0))
+    np.testing.assert_allclose(float(w), 2 * 10 / 40, rtol=1e-6)
+    w = losses.association_weight("Combined", jnp.asarray(10.0),
+                                  jnp.asarray(10.0), jnp.asarray(0.9),
+                                  jnp.asarray(1.0), jnp.asarray(1.0))
+    np.testing.assert_allclose(float(w), 1.0 + 0.9 + 1.0, rtol=1e-6)
+
+
+def test_association_exact_nn():
+    cfg = _cfg("P2L")
+    rng = np.random.default_rng(3)
+    xy, intens = _world_cloud(rng)
+    cells = _cells_from_world(xy, intens, np.zeros(3), cfg)
+    kf = _stack_keyframes([cells])
+    assoc = registration.associate(kf, jnp.zeros((1, 3)), jnp.ones(1, bool),
+                                   cells, jnp.zeros(3), 2.0, cfg)
+    # identity transform: every valid cell must associate with itself
+    valid = np.asarray(cells.valid)
+    tar = np.asarray(assoc.tar_idx[0])
+    ok = np.asarray(assoc.valid[0])
+    idx = np.where(valid)[0]
+    assert ok[idx].all()
+    np.testing.assert_array_equal(tar[idx], idx)

@@ -1,0 +1,55 @@
+import dataclasses
+
+import numpy as np
+import jax
+
+from cfear_radarodometry_code_public_tpu.config import preset
+from cfear_radarodometry_code_public_tpu.datasets import synthetic
+from cfear_radarodometry_code_public_tpu.models import odometry
+from cfear_radarodometry_code_public_tpu.parallel import mesh as pmesh
+
+
+def _cfg():
+    cfg = preset("CFEAR-3", dataset="synthetic")
+    radar = dataclasses.replace(cfg.radar, n_azimuths=128, n_bins=256,
+                                range_res=0.6, max_distance=100.0)
+    feat = dataclasses.replace(cfg.feature, max_cells=256)
+    filt = dataclasses.replace(cfg.filter, k_strongest=8)
+    return cfg.replace(radar=radar, feature=feat, filter=filt)
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) == 8
+
+
+def test_multi_sequence_sharded_matches_single():
+    cfg = _cfg()
+    b, t = 8, 8
+    seqs, gts = [], []
+    for s in range(b):
+        imgs, gt = synthetic.make_sequence(seed=100 + s, n_frames=t, cfg=cfg)
+        seqs.append(imgs)
+        gts.append(gt)
+    images = np.stack(seqs)
+
+    m = pmesh.make_mesh(8)
+    runner = pmesh.MultiSequenceRunner(cfg, batch=b, mesh=m, chunk=4)
+    runner.process(images)
+    trajs = runner.trajectories()
+    assert trajs.shape == (b, t, 3)
+
+    # sequence 0 must match a plain single-sequence run
+    single = odometry.OdometryRunner(cfg, chunk=4)
+    single.process(seqs[0])
+    np.testing.assert_allclose(trajs[0], single.trajectory(), atol=1e-4)
+
+
+def test_sharded_state_layout():
+    from jax.sharding import NamedSharding
+    cfg = _cfg()
+    m = pmesh.make_mesh(8)
+    init_fn, _, _ = pmesh.make_batched_runner(cfg, m)
+    states = init_fn(8)
+    sh = states.kf_poses.sharding
+    assert isinstance(sh, NamedSharding)
+    assert sh.spec[0] == "data"
