@@ -1,53 +1,55 @@
-"""Synthetic spinning-FMCW radar simulator.
+"""Synthetic spinning-FMCW radar simulator (ray-cast).
 
 The reference is evaluated on recorded rosbags (Oxford Radar RobotCar,
 MulRan); this module provides a physics-lite stand-in so every stage — and
-the end-to-end drift benchmark — can run hermetically: a static world of
-point scatterers is swept by a rotating beam, painting Gaussian intensity
-blobs into a polar (azimuth x range) uint8 image, with per-azimuth sensor
-motion (true motion distortion, matching the scan-time convention of
-`utils.h:28-32`) and speckle noise below/around the detector threshold.
+the end-to-end drift benchmark — can run hermetically.
+
+The world is a set of wall segments plus discrete point scatterers. Each
+azimuth beam is RAY-CAST against the walls (real radar sees a continuous
+return wherever the beam meets a surface, at every azimuth — this is what
+anchors CFEAR's intensity-weighted cell means on real data), with a
+deterministic reflectivity texture along each wall so bright scatterers stay
+fixed in the world between frames. Per-azimuth sensor motion reproduces true
+motion distortion with the reference's scan-time convention, and exponential
+speckle noise sits below/around the detector threshold.
 
 Conventions match the reference exactly so the same pipeline constants work:
 azimuth bin b covers bearing theta = (b+1)/A * 2*pi (`radar_filters.cpp:317`),
 range bin r covers distance (r+0.5) * dr (`radar_filters.cpp:324-330`),
-azimuth b is measured at relative scan time d(theta) per GetRelTimeStamp.
+azimuth b is measured at relative scan time d = (b+1)/A - 0.5 (`utils.h:28-32`).
 """
 
 from __future__ import annotations
 
+from typing import Dict
+
 import numpy as np
 
-from cfear_radarodometry_code_public_tpu.config import CFEARConfig
 
-
-def make_world(rng: np.random.Generator, n_landmarks: int = 600,
-               extent: float = 160.0) -> np.ndarray:
-    """Random world: point scatterers along walls + clutter. (L, 3): x, y, refl."""
-    pts = []
-    n_walls = 14
-    for _ in range(n_walls):
-        p0 = rng.uniform(-extent, extent, 2)
-        ang = rng.uniform(0, 2 * np.pi)
-        length = rng.uniform(20.0, 90.0)
-        n = max(int(length / 0.7), 2)
-        t = np.linspace(0, length, n)
-        wall = p0[None, :] + np.stack([np.cos(ang) * t, np.sin(ang) * t], -1)
-        refl = np.full((n, 1), rng.uniform(150, 230))
-        pts.append(np.concatenate([wall + rng.normal(0, 0.05, wall.shape),
-                                   refl], -1))
-    n_clutter = max(n_landmarks - sum(p.shape[0] for p in pts), 50)
-    clutter = np.concatenate(
-        [rng.uniform(-extent, extent, (n_clutter, 2)),
-         rng.uniform(90, 200, (n_clutter, 1))], -1)
-    pts.append(clutter)
-    return np.concatenate(pts, 0)
+def make_world(rng: np.random.Generator, n_walls: int = 18,
+               n_scatterers: int = 250, extent: float = 160.0,
+               texture_knots: int = 512) -> Dict[str, np.ndarray]:
+    """Random world: wall segments with reflectivity texture + scatterers."""
+    p0 = rng.uniform(-extent, extent, (n_walls, 2))
+    ang = rng.uniform(0, 2 * np.pi, n_walls)
+    length = rng.uniform(25.0, 100.0, n_walls)
+    p1 = p0 + np.stack([np.cos(ang), np.sin(ang)], -1) * length[:, None]
+    texture = rng.uniform(0.35, 1.0, (n_walls, texture_knots)) ** 2
+    # sprinkle a few bright anchor scatterers into each wall's texture
+    for s in range(n_walls):
+        idx = rng.integers(0, texture_knots, 8)
+        texture[s, idx] = rng.uniform(1.2, 1.6, 8)
+    scat = np.concatenate(
+        [rng.uniform(-extent, extent, (n_scatterers, 2)),
+         rng.uniform(90, 230, (n_scatterers, 1))], -1)
+    return dict(seg_p0=p0, seg_p1=p1,
+                seg_refl=rng.uniform(140, 230, n_walls),
+                seg_texture=texture, scatterers=scat)
 
 
 def make_trajectory(rng: np.random.Generator, n_frames: int,
                     dt: float = 0.25, speed: float = 5.0) -> np.ndarray:
     """Smooth forward trajectory (T, 3) [x, y, yaw]: car-like motion."""
-    yaw_rate = np.zeros(n_frames)
     n_knots = max(n_frames // 40, 2)
     knots = rng.uniform(-0.25, 0.25, n_knots)
     xs = np.linspace(0, n_frames - 1, n_knots)
@@ -62,11 +64,47 @@ def make_trajectory(rng: np.random.Generator, n_frames: int,
     return poses
 
 
-def render_polar(world: np.ndarray, pose: np.ndarray, cfg: CFEARConfig,
-                 rng: np.random.Generator, motion: np.ndarray | None = None,
+def _raycast(world, origins: np.ndarray, dirs: np.ndarray):
+    """Vectorized ray/segment intersection.
+
+    origins, dirs: (A, 2). Returns (range (A,), reflectivity (A,)) with
+    range = inf where no wall is hit.
+    """
+    p0 = world["seg_p0"]                      # (S, 2)
+    e = world["seg_p1"] - p0                  # (S, 2)
+    S = p0.shape[0]
+    o = origins[:, None, :]                   # (A, 1, 2)
+    d = dirs[:, None, :]
+    w = p0[None, :, :] - o                    # (A, S, 2)
+    denom = d[..., 0] * e[None, :, 1] - d[..., 1] * e[None, :, 0]
+    denom = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+    t = (w[..., 0] * e[None, :, 1] - w[..., 1] * e[None, :, 0]) / denom
+    u = (w[..., 0] * d[..., 1] - w[..., 1] * d[..., 0]) / (-denom)
+    hit = (t > 1.0) & (u >= 0.0) & (u <= 1.0)
+    t = np.where(hit, t, np.inf)
+    k = np.argmin(t, axis=1)                  # (A,) nearest wall
+    rows = np.arange(t.shape[0])
+    rng_out = t[rows, k]
+    u_hit = np.clip(u[rows, k], 0.0, 1.0)
+    # reflectivity: base * along-wall texture * incidence factor
+    tex = world["seg_texture"]
+    knots = tex.shape[1]
+    ui = np.minimum((u_hit * (knots - 1)).astype(int), knots - 2)
+    frac = u_hit * (knots - 1) - ui
+    tex_v = tex[k, ui] * (1 - frac) + tex[k, ui + 1] * frac
+    e_hit = e[k]
+    e_norm = e_hit / np.maximum(np.linalg.norm(e_hit, axis=-1, keepdims=True),
+                                1e-9)
+    inc = np.abs(dirs[:, 0] * e_norm[:, 1] - dirs[:, 1] * e_norm[:, 0])
+    refl = world["seg_refl"][k] * tex_v * (0.4 + 0.6 * inc)
+    return rng_out, refl
+
+
+def render_polar(world, pose: np.ndarray, cfg, rng: np.random.Generator,
+                 motion: np.ndarray | None = None,
                  noise_scale: float = 12.0) -> np.ndarray:
     """Render one polar sweep (A, R) uint8 at `pose`; `motion` is the
-    frame-to-frame motion applied fractionally across the sweep (distortion)."""
+    frame-to-frame motion applied fractionally across the sweep."""
     radar = cfg.radar
     a_bins, r_bins = radar.n_azimuths, radar.n_bins
     dr = radar.range_res
@@ -75,8 +113,7 @@ def render_polar(world: np.ndarray, pose: np.ndarray, cfg: CFEARConfig,
     if noise_scale > 0:
         img += rng.exponential(noise_scale, (a_bins, r_bins)).astype(np.float32)
 
-    # sensor pose per azimuth (motion distortion): azimuth b is captured at
-    # relative time d = (b+1)/A - 0.5 (ccw flips sign)
+    # sensor pose per azimuth (motion distortion)
     d = (np.arange(a_bins) + 1.0) / a_bins - 0.5
     if radar.ccw:
         d = -d
@@ -85,31 +122,42 @@ def render_polar(world: np.ndarray, pose: np.ndarray, cfg: CFEARConfig,
     ang = pose[2] + d * motion[2]
     px = pose[0] + d * (np.cos(pose[2]) * motion[0] - np.sin(pose[2]) * motion[1])
     py = pose[1] + d * (np.sin(pose[2]) * motion[0] + np.cos(pose[2]) * motion[1])
+    origins = np.stack([px, py], -1)
+    bearings = (np.arange(a_bins) + 1.0) / a_bins * 2 * np.pi
+    world_angles = ang + bearings
+    dirs = np.stack([np.cos(world_angles), np.sin(world_angles)], -1)
 
-    # landmark bearing/range per azimuth-of-capture: use the sensor pose of
-    # the azimuth bin nearest to each landmark's bearing (fixed-point iterate
-    # once: bearing from the undistorted pose, then refine with that bin's pose)
-    def project(sx, sy, sth):
-        rel_x = world[:, 0] - sx
-        rel_y = world[:, 1] - sy
-        c, s = np.cos(-sth), np.sin(-sth)
-        lx = c * rel_x - s * rel_y
-        ly = s * rel_x + c * rel_y
-        theta = np.mod(np.arctan2(ly, lx), 2 * np.pi)
-        rngs = np.hypot(lx, ly)
-        return theta, rngs
+    # --- walls: one continuous return per azimuth beam ------------------
+    rng_hit, refl = _raycast(world, origins, dirs)
+    ok = np.isfinite(rng_hit) & (rng_hit / dr < r_bins - 4)
+    az = np.where(ok)[0]
+    rng_f = rng_hit[ok] / dr - 0.5
+    refl_ok = refl[ok]
+    sig_r = 1.2
+    for drb in range(-3, 4):
+        rb = np.clip(np.round(rng_f) + drb, 0, r_bins - 1).astype(int)
+        wr = np.exp(-0.5 * ((np.round(rng_f) + drb - rng_f) / sig_r) ** 2)
+        np.add.at(img, (az, rb), refl_ok * wr)
 
-    theta0, _ = project(pose[0], pose[1], pose[2])
+    # --- discrete point scatterers (visible only if no wall in front) ---
+    scat = world["scatterers"]
+    theta0 = np.mod(np.arctan2(scat[:, 1] - pose[1], scat[:, 0] - pose[0])
+                    - pose[2], 2 * np.pi)
     b0 = np.clip(np.round(theta0 * a_bins / (2 * np.pi) - 1.0).astype(int),
                  0, a_bins - 1)
-    theta, rngs = project(px[b0], py[b0], ang[b0])
-    az_f = theta * a_bins / (2 * np.pi) - 1.0           # fractional azimuth bin
-    rng_f = rngs / dr - 0.5                             # fractional range bin
-
-    keep = (rngs > 1.0) & (rng_f < r_bins - 4) & (rng_f > 2)
-    az_f, rng_f, refl = az_f[keep], rng_f[keep], world[keep, 2]
-
-    sig_a, sig_r = 1.0, 1.2
+    rel_x = scat[:, 0] - px[b0]
+    rel_y = scat[:, 1] - py[b0]
+    c, s = np.cos(-ang[b0]), np.sin(-ang[b0])
+    lx = c * rel_x - s * rel_y
+    ly = s * rel_x + c * rel_y
+    theta = np.mod(np.arctan2(ly, lx), 2 * np.pi)
+    rngs = np.hypot(lx, ly)
+    az_f = theta * a_bins / (2 * np.pi) - 1.0
+    rng_f = rngs / dr - 0.5
+    occluded = rngs > rng_hit[b0] - 0.5
+    keep = (rngs > 1.0) & (rng_f < r_bins - 4) & (rng_f > 2) & ~occluded
+    az_f, rng_f, refl = az_f[keep], rng_f[keep], scat[keep, 2]
+    sig_a = 1.0
     for da in range(-2, 3):
         ab = np.mod(np.round(az_f) + da, a_bins).astype(int)
         wa = np.exp(-0.5 * ((np.round(az_f) + da - az_f) / sig_a) ** 2)
@@ -121,8 +169,8 @@ def render_polar(world: np.ndarray, pose: np.ndarray, cfg: CFEARConfig,
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def make_sequence(seed: int, n_frames: int, cfg: CFEARConfig,
-                  speed: float = 5.0, noise_scale: float = 12.0):
+def make_sequence(seed: int, n_frames: int, cfg, speed: float = 5.0,
+                  noise_scale: float = 12.0):
     """Full synthetic sequence: (images (T, A, R) uint8, gt_poses (T, 3))."""
     rng = np.random.default_rng(seed)
     world = make_world(rng)
@@ -132,7 +180,6 @@ def make_sequence(seed: int, n_frames: int, cfg: CFEARConfig,
     for i in range(n_frames):
         motion = None
         if i > 0:
-            # frame-to-frame motion in the previous frame's frame
             prev, cur = gt[i - 1], gt[i]
             c, s = np.cos(prev[2]), np.sin(prev[2])
             dx, dy = cur[0] - prev[0], cur[1] - prev[1]

@@ -147,6 +147,15 @@ def make_step(cfg: CFEARConfig):
             t_cur = jnp.where(sane, t_cur, guess)
             tmot = se2.relative(state.t_prev, t_cur)
 
+            cov = res.cov
+            if odo.estimate_cov_by_sampling:
+                # (`odometrykeyframefuser.cpp:203-208`): use the sampled
+                # covariance when the quadratic fit is convex
+                cov_s, convex = registration.sample_covariance(
+                    state.kf_cells, state.kf_poses, state.kf_valid, cells,
+                    t_cur, cfg)
+                cov = jnp.where(convex, cov_s, cov)
+
             keydiff = se2.relative(state.kf_poses[-1], t_cur)
             fuse = (jnp.linalg.norm(keydiff[:2]) > odo.keyframe_min_dist) \
                 | (jnp.abs(se2.normalize_angle(keydiff[2])) > rot_gate)
@@ -167,7 +176,7 @@ def make_step(cfg: CFEARConfig):
             out = FrameOutput(
                 pose=t_cur,
                 shift=jnp.where(fuse, t_cur, jnp.zeros_like(t_cur)),
-                fused=fuse, cov=res.cov, success=res.success,
+                fused=fuse, cov=cov, success=res.success,
                 score=res.score, num_assoc=res.num_assoc, num_cells=cells.n)
             return new_state, out
 
@@ -245,3 +254,29 @@ class OdometryRunner:
 
     def frame_outputs(self) -> FrameOutput:
         return jax.tree.map(lambda *xs: np.concatenate(xs), *self.outputs)
+
+    # -- checkpoint / resume (SURVEY.md §5: the reference only saves its
+    # graph at exit; here the full scan-carry state is restorable) ---------
+    def save_checkpoint(self, path: str) -> None:
+        leaves, _ = jax.tree.flatten(self.state)
+        payload = {f"state_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+        if self.outputs:
+            out = self.frame_outputs()
+            payload.update({f"out_{k}": np.asarray(v)
+                            for k, v in out._asdict().items()})
+        np.savez_compressed(path, **payload)
+
+    @classmethod
+    def resume(cls, cfg: CFEARConfig, path: str, chunk: int = 16
+               ) -> "OdometryRunner":
+        runner = cls(cfg, chunk=chunk)
+        z = np.load(path)
+        leaves, treedef = jax.tree.flatten(runner.state)
+        new_leaves = [jnp.asarray(z[f"state_{i}"]).astype(l.dtype)
+                      for i, l in enumerate(leaves)]
+        runner.state = jax.tree.unflatten(treedef, new_leaves)
+        if "out_pose" in z:
+            out = FrameOutput(**{k: z[f"out_{k}"]
+                                 for k in FrameOutput._fields})
+            runner.outputs = [out]
+        return runner

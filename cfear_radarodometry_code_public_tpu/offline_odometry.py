@@ -1,0 +1,227 @@
+"""Offline odometry CLI — the primary benchmark entry point.
+
+Rebuild of `src/offline_odometry.cpp`: read a sequence (synthetic, Oxford, or
+MulRan directory), run the full odometry pipeline, export est/gt trajectories
+(KITTI + TUM + covariance), the pose graph (`simple_graph.npz`, the `.sgh`
+equivalent), a `pars.txt` parameter+timing manifest
+(`offline_odometry.cpp:290-302`), and — unlike the reference, which shells
+out to an external evaluator — an in-repo KITTI drift / ATE `result.txt`.
+
+Usage:
+  python -m cfear_radarodometry_code_public_tpu.offline_odometry \
+      --dataset synthetic --n-frames 100 --output-dir /tmp/run
+  python -m cfear_radarodometry_code_public_tpu.offline_odometry \
+      --dataset oxford --radar-dir .../radar --gt-csv .../radar_odometry.csv \
+      --output-dir /tmp/run --preset CFEAR-3
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_config(args):
+    from cfear_radarodometry_code_public_tpu.config import preset
+    cfg = preset(args.preset, dataset=args.dataset)
+    filt = dataclasses.replace(
+        cfg.filter,
+        **{k: v for k, v in dict(
+            k_strongest=args.k_strongest, z_min=args.z_min,
+            method=args.filter_type).items() if v is not None})
+    feat = dataclasses.replace(
+        cfg.feature,
+        **{k: v for k, v in dict(
+            res=args.res, weight_intensity=args.weight_intensity,
+            max_cells=args.max_cells,
+            use_raw_pointcloud=args.use_raw_pointcloud or None).items()
+           if v is not None})
+    reg = dataclasses.replace(
+        cfg.registration,
+        **{k: v for k, v in dict(
+            cost=args.cost_type, loss=args.loss_type,
+            loss_limit=args.loss_limit, weight_opt=args.weight_option,
+            cov_scale=args.covar_scale,
+            regularization=args.regularization,
+            soft_constraint=args.soft_constraint or None).items()
+           if v is not None})
+    odo = dataclasses.replace(
+        cfg.odometry,
+        **{k: v for k, v in dict(
+            submap_scan_size=args.submap_scan_size,
+            keyframe_min_dist=args.min_keyframe_dist,
+            keyframe_min_rot_deg=args.min_keyframe_rot_deg,
+            compensate=args.compensate, use_guess=args.use_guess,
+            estimate_cov_by_sampling=args.estimate_cov_by_sampling or None,
+            ).items() if v is not None})
+    return cfg.replace(filter=filt, feature=feat, registration=reg,
+                       odometry=odo)
+
+
+def load_sequence(args, cfg):
+    """Returns (images (T, A, R) uint8, stamps (T,), gt (T,3) or None)."""
+    from cfear_radarodometry_code_public_tpu.datasets import oxford, synthetic
+    if args.dataset == "synthetic":
+        images, gt = synthetic.make_sequence(args.seed, args.n_frames, cfg,
+                                             speed=args.speed)
+        stamps = np.arange(len(images)) * cfg.radar.sensor_period
+        return images, stamps, gt
+    frames = (oxford.oxford_frames(args.radar_dir) if args.dataset == "oxford"
+              else oxford.mulran_frames(args.radar_dir))
+    stamps, images = [], []
+    for i, (t, img) in enumerate(frames):
+        if args.n_frames and i >= args.n_frames:
+            break
+        stamps.append(t)
+        a, r = cfg.radar.n_azimuths, cfg.radar.n_bins
+        if img.shape != (a, r):
+            out = np.zeros((a, r), np.uint8)
+            out[:min(a, img.shape[0]), :min(r, img.shape[1])] = \
+                img[:a, :r]
+            img = out
+        images.append(img)
+    stamps = np.asarray(stamps)
+    gt = None
+    if args.gt_csv:
+        gt_stamps, gt_poses = oxford.load_gt_csv(args.gt_csv)
+        from cfear_radarodometry_code_public_tpu.eval.trajectory import (
+            interpolate_gt)
+        keep, gt = interpolate_gt(stamps, gt_stamps, gt_poses)
+        images = [images[i] for i in keep]
+        stamps = stamps[keep]
+    return np.stack(images), stamps, gt
+
+
+def write_pars(path, cfg, args, timing, extra):
+    """`pars.txt` manifest: full config + timing statistics
+    (`offline_odometry.cpp:290-302`, `Parameters::ToString`)."""
+    with open(path, "w") as f:
+        for section, obj in [("radar", cfg.radar), ("filter", cfg.filter),
+                             ("feature", cfg.feature),
+                             ("registration", cfg.registration),
+                             ("odometry", cfg.odometry)]:
+            for field in dataclasses.fields(obj):
+                f.write(f"{section}.{field.name}, "
+                        f"{getattr(obj, field.name)}\n")
+        f.write(f"preset, {cfg.name}\n")
+        f.write(f"dataset, {args.dataset}\n")
+        for k, v in extra.items():
+            f.write(f"{k}, {v}\n")
+        f.write(timing.csv() + "\n")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dataset", default="synthetic",
+                    choices=["synthetic", "oxford", "mulran", "kvarntorp",
+                             "volvo"])
+    ap.add_argument("--preset", default="CFEAR-3")
+    ap.add_argument("--radar-dir", default=None)
+    ap.add_argument("--gt-csv", default=None)
+    ap.add_argument("--output-dir", "--est_directory", default="/tmp/cfear_run")
+    ap.add_argument("--sequence-name", default="00")
+    ap.add_argument("--n-frames", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--speed", type=float, default=6.0)
+    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--save-graph", dest="save_graph", action="store_true",
+                    default=True)
+    ap.add_argument("--no-save-graph", dest="save_graph", action="store_false")
+    # parameter surface (reference CLI names, `offline_odometry.cpp:150-277`)
+    ap.add_argument("--cost_type", default=None)
+    ap.add_argument("--loss_type", default=None)
+    ap.add_argument("--loss_limit", type=float, default=None)
+    ap.add_argument("--weight_option", default=None)
+    ap.add_argument("--weight_intensity", type=lambda s: s == "true",
+                    default=None)
+    ap.add_argument("--res", type=float, default=None)
+    ap.add_argument("--k_strongest", type=int, default=None)
+    ap.add_argument("--z_min", type=int, default=None)
+    ap.add_argument("--filter_type", default=None,
+                    choices=[None, "kstrong", "cacfar"])
+    ap.add_argument("--submap_scan_size", type=int, default=None)
+    ap.add_argument("--min_keyframe_dist", type=float, default=None)
+    ap.add_argument("--min_keyframe_rot_deg", type=float, default=None)
+    ap.add_argument("--compensate", type=lambda s: s == "true", default=None)
+    ap.add_argument("--use_guess", type=lambda s: s == "true", default=None)
+    ap.add_argument("--covar_scale", type=float, default=None)
+    ap.add_argument("--regularization", type=float, default=None)
+    ap.add_argument("--soft_constraint", action="store_true", default=False)
+    ap.add_argument("--estimate_cov_by_sampling", action="store_true",
+                    default=False)
+    ap.add_argument("--use_raw_pointcloud", action="store_true", default=False)
+    ap.add_argument("--max_cells", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from cfear_radarodometry_code_public_tpu.eval.kitti import kitti_drift
+    from cfear_radarodometry_code_public_tpu.eval.trajectory import (
+        ate_rmse, save_trajectories)
+    from cfear_radarodometry_code_public_tpu.models import odometry, posegraph
+    from cfear_radarodometry_code_public_tpu.utils.stats import timing
+
+    cfg = build_config(args)
+    print(f"config: {cfg.name} dataset={args.dataset} "
+          f"cost={cfg.registration.cost} loss={cfg.registration.loss} "
+          f"submap={cfg.odometry.submap_scan_size} res={cfg.feature.res} "
+          f"k={cfg.filter.k_strongest}", file=sys.stderr)
+
+    with timing.timer("load"):
+        images, stamps, gt = load_sequence(args, cfg)
+    print(f"loaded {len(images)} frames", file=sys.stderr)
+
+    runner = odometry.OdometryRunner(cfg, chunk=args.chunk)
+    t0 = time.perf_counter()
+    with timing.timer("odometry-total"):
+        runner.process(images)
+        traj = runner.trajectory()
+    wall = time.perf_counter() - t0
+    fps = len(images) / wall
+    timing.document("Registration-full", wall * 1e3 / len(images))
+    print(f"{len(images)} frames in {wall:.2f}s -> {fps:.1f} fps",
+          file=sys.stderr)
+
+    out = runner.frame_outputs()
+    os.makedirs(args.output_dir, exist_ok=True)
+    covs = np.asarray(out.cov)
+    save_trajectories(args.output_dir, args.sequence_name, stamps, traj,
+                      covs=covs, gt_xyt=gt)
+
+    if args.save_graph:
+        gb = posegraph.build_graph_from_odometry(out, traj, stamps)
+        if gt is not None:
+            gb.attach_ground_truth(stamps, gt, tol=1e-3)
+        gb.save(os.path.join(args.output_dir, "simple_graph.npz"))
+
+    result = {"frames": len(images), "fps": round(fps, 2),
+              "keyframes": int(out.fused.sum()),
+              "registration_failures": int((~out.success).sum())}
+    if gt is not None:
+        drift = kitti_drift(traj, gt)
+        result.update(t_err_percent=drift["t_err_percent"],
+                      r_err_deg_per_m=drift["r_err_deg_per_m"],
+                      n_subsequences=drift["n_subsequences"],
+                      ate_m=ate_rmse(traj[:, :2], gt[:, :2]))
+    with open(os.path.join(args.output_dir, "est", "result.txt"), "w") as f:
+        for k, v in result.items():
+            f.write(f"{k}: {v}\n")
+    write_pars(os.path.join(args.output_dir, "pars.txt"), cfg, args, timing,
+               result)
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -376,6 +376,51 @@ def register(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, guess,
         iterations=final.itr)
 
 
+def sample_covariance(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap,
+                      pose, cfg: CFEARConfig):
+    """Covariance by cost sampling around the registration optimum.
+
+    Reproduces `approximateCovarianceBySampling`
+    (`odometrykeyframefuser.cpp:261-380`): evaluate the association cost on a
+    k^3 grid of (x, y, yaw) offsets (k = cov_sampling_samples_per_axis), fit
+    a 10-coefficient quadratic by least squares, build its constant Hessian,
+    and — if convex — return cov = 2 H^{-1} * score_scale * scaler with
+    score_scale = final_cost / (n_res - n_par) (`GetCovarianceScaler`,
+    `n_scan_normal.cpp:435-441`). Returns (cov3, ok).
+    """
+    odo = cfg.odometry
+    k = odo.cov_sampling_samples_per_axis
+    dtype = pose.dtype
+    xy = jnp.linspace(-odo.cov_sampling_xy_range * 0.5,
+                      odo.cov_sampling_xy_range * 0.5, k).astype(dtype)
+    th = jnp.linspace(-odo.cov_sampling_yaw_range * 0.5,
+                      odo.cov_sampling_yaw_range * 0.5, k).astype(dtype)
+    gx, gy, gt_ = jnp.meshgrid(xy, xy, th, indexing="ij")
+    offs = jnp.stack([gx.ravel(), gy.ravel(), gt_.ravel()], -1)  # (k^3, 3)
+
+    def cost_at(off):
+        c, n = get_cost(kf_cells, kf_poses, kf_valid, src, pose + off, cfg)
+        return c, n
+
+    costs, n_res = jax.vmap(cost_at)(offs)
+    x, y, t = offs[:, 0], offs[:, 1], offs[:, 2]
+    A = jnp.stack([x * x, y * y, t * t, x * y, y * t, t * x, x, y, t,
+                   jnp.ones_like(x)], -1)
+    coef, *_ = jnp.linalg.lstsq(A, costs)
+    H = jnp.array([[2 * coef[0], coef[3], coef[5]],
+                   [coef[3], 2 * coef[1], coef[4]],
+                   [coef[5], coef[4], 2 * coef[2]]])
+    evals = jnp.linalg.eigvalsh(H)
+    convex = jnp.all(evals > 0.0)
+    # score scale from the center sample
+    center = jnp.argmin(jnp.sum(offs * offs, -1))
+    dof = jnp.maximum(n_res[center].astype(dtype) - 3.0, 1.0)
+    score_scale = costs[center] / dof
+    cov = 2.0 * jnp.linalg.inv(H + (1.0 - convex) * jnp.eye(3, dtype=dtype)) \
+        * score_scale * odo.cov_sampling_covariance_scaler
+    return cov, convex
+
+
 def get_cost(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, src_pose,
              cfg: CFEARConfig) -> Tuple[jax.Array, jax.Array]:
     """Evaluate the association cost at a fixed pose (no solve).

@@ -1,0 +1,71 @@
+import os
+
+import numpy as np
+
+from cfear_radarodometry_code_public_tpu import offline_odometry
+from cfear_radarodometry_code_public_tpu.parallel import sweep
+
+
+BASE = ["--dataset", "synthetic", "--n-frames", "8", "--cpu",
+        "--max_cells", "256", "--k_strongest", "8", "--chunk", "8"]
+
+
+def test_offline_odometry_cli(tmp_path):
+    out = str(tmp_path / "run")
+    res = offline_odometry.main(BASE + ["--output-dir", out])
+    assert res["frames"] == 8
+    assert res["registration_failures"] == 0
+    for f in ["est/00.txt", "est/00_tum.txt", "est/00_cov.txt",
+              "est/result.txt", "gt/00.txt", "pars.txt",
+              "simple_graph.npz"]:
+        assert os.path.exists(os.path.join(out, f)), f
+    kitti = np.loadtxt(os.path.join(out, "est", "00.txt"))
+    assert kitti.shape == (8, 12)
+
+
+def test_cli_overrides(tmp_path):
+    out = str(tmp_path / "run2")
+    offline_odometry.main(BASE + ["--output-dir", out, "--cost_type", "P2L",
+                                  "--loss_type", "Cauchy",
+                                  "--submap_scan_size", "2"])
+    pars = open(os.path.join(out, "pars.txt")).read()
+    assert "registration.cost, P2L" in pars
+    assert "registration.loss, Cauchy" in pars
+    assert "odometry.submap_scan_size, 2" in pars
+
+
+def test_sweep_and_merge(tmp_path):
+    root = str(tmp_path / "sweep")
+    grid = {"cost_type": ["P2L", "P2P"]}
+    dirs = sweep.run_sweep(root, grid, BASE)
+    assert len(dirs) == 2
+    n = sweep.merge(root, os.path.join(root, "merged.csv"))
+    assert n == 2
+    text = open(os.path.join(root, "merged.csv")).read()
+    assert "P2L" in text and "P2P" in text and "ate_m" in text
+
+
+def test_checkpoint_resume(tmp_path):
+    import dataclasses
+    import jax.numpy as jnp
+    from cfear_radarodometry_code_public_tpu.config import preset
+    from cfear_radarodometry_code_public_tpu.datasets import synthetic
+    from cfear_radarodometry_code_public_tpu.models import odometry
+
+    cfg = preset("CFEAR-3", dataset="synthetic")
+    cfg = cfg.replace(feature=dataclasses.replace(cfg.feature, max_cells=256),
+                      filter=dataclasses.replace(cfg.filter, k_strongest=8))
+    images, _ = synthetic.make_sequence(seed=2, n_frames=12, cfg=cfg)
+
+    full = odometry.OdometryRunner(cfg, chunk=6)
+    full.process(images)
+    ref = full.trajectory()
+
+    part = odometry.OdometryRunner(cfg, chunk=6)
+    part.process(images[:6])
+    ckpt = str(tmp_path / "ckpt.npz")
+    part.save_checkpoint(ckpt)
+
+    resumed = odometry.OdometryRunner.resume(cfg, ckpt, chunk=6)
+    resumed.process(images[6:])
+    np.testing.assert_allclose(resumed.trajectory(), ref, atol=1e-5)
