@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--check-drift", action="store_true",
                     help="also report synthetic drift to stderr")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="also measure B concurrent sequences per chip")
     args = ap.parse_args()
 
     if args.quick:
@@ -71,23 +73,53 @@ def main():
     run_chunk = odometry.make_chunk_runner(cfg)
     state0 = odometry.init_state(cfg)
 
-    # warm-up / compile
+    # warm-up / compile (sync via host transfer: block_until_ready under-waits
+    # on some experimental PJRT backends)
     t0 = time.time()
     state, out = run_chunk(state0, jnp.asarray(images[:args.chunk]))
-    jax.block_until_ready(out.pose)
+    np.asarray(out.pose)
     print(f"compile+first chunk: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # timed: scan the whole sequence, several repeats
+    # timed: scan the whole sequence, several repeats; transfer each chunk's
+    # poses like a real consumer would (OdometryRunner does the same)
     n_timed = (args.frames // args.chunk) * args.chunk
     t0 = time.time()
     for _ in range(args.repeats):
         state = state0
         for i in range(0, n_timed, args.chunk):
             state, out = run_chunk(state, jnp.asarray(images[i:i + args.chunk]))
-        jax.block_until_ready(out.pose)
+            np.asarray(out.pose)
     dt = time.time() - t0
     fps = args.repeats * n_timed / dt
-    print(f"{args.repeats * n_timed} frames in {dt:.2f}s", file=sys.stderr)
+    print(f"single-sequence: {args.repeats * n_timed} frames in {dt:.2f}s "
+          f"({fps:.1f} fps)", file=sys.stderr)
+
+    if args.batch:
+        b = args.batch
+        step = odometry.make_step(cfg)
+
+        @jax.jit
+        def run_chunk_b(states, imgs):
+            return jax.vmap(lambda s, im: jax.lax.scan(step, s, im))(states,
+                                                                     imgs)
+
+        states0 = jax.vmap(lambda _: odometry.init_state(cfg))(jnp.arange(b))
+        blk_np = np.stack([images[:args.chunk]] * b)
+        t0 = time.time()
+        states, outb = run_chunk_b(states0, jnp.asarray(blk_np))
+        np.asarray(outb.pose)
+        print(f"batched compile: {time.time() - t0:.1f}s", file=sys.stderr)
+        t0 = time.time()
+        states = states0
+        for i in range(0, n_timed, args.chunk):
+            blk = np.stack([images[i:i + args.chunk]] * b)
+            states, outb = run_chunk_b(states, jnp.asarray(blk))
+            np.asarray(outb.pose)
+        dtb = time.time() - t0
+        fps_b = b * n_timed / dtb
+        print(f"batched x{b}: {b * n_timed} frames in {dtb:.2f}s "
+              f"({fps_b:.1f} fps/chip)", file=sys.stderr)
+        fps = max(fps, fps_b)
 
     if args.check_drift:
         from cfear_radarodometry_code_public_tpu.eval.kitti import kitti_drift

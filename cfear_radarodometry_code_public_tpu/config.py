@@ -65,6 +65,7 @@ class FeatureConfig:
     det_min: float = 1e-5
     max_cells: int = 2048            # fixed-size compacted cell budget per scan
     use_raw_pointcloud: bool = False # ablation: identity cell per point (`pointnormal.h:62`)
+    max_cells_raw: int = 4096        # cell budget in raw-pointcloud mode
 
 
 @dataclass(frozen=True)

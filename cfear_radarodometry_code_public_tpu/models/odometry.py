@@ -70,7 +70,8 @@ def _tree_select(pred, a, b):
 
 def init_state(cfg: CFEARConfig, dtype=jnp.float32) -> OdometryState:
     s = cfg.odometry.submap_scan_size
-    m = cfg.feature.max_cells
+    m = cfg.feature.max_cells_raw if cfg.feature.use_raw_pointcloud \
+        else cfg.feature.max_cells
     zeros_cells = CellMap(
         mean=jnp.zeros((s, m, 2), dtype),
         normal=jnp.zeros((s, m, 2), dtype),
@@ -115,7 +116,10 @@ def make_step(cfg: CFEARConfig):
         if odo.compensate:
             xy = se2.compensate_points(pts.xy, state.tmot, cfg.radar.ccw)
             pts = pts._replace(xy=xy)
-        cells = features.compute_cells(pts, cfg)
+        if cfg.feature.use_raw_pointcloud:
+            cells = features.compute_raw_cells(pts, cfg)
+        else:
+            cells = features.compute_cells(pts, cfg)
         guess = se2.compose(state.t_prev, state.tmot) if odo.use_guess \
             else state.t_prev
 

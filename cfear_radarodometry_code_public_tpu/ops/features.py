@@ -188,6 +188,27 @@ def compute_cells(points: PointCloud, cfg: CFEARConfig) -> CellMap:
     )
 
 
+def compute_raw_cells(points: PointCloud, cfg: CFEARConfig) -> CellMap:
+    """"use_raw_pointcloud" ablation: one identity cell per filtered point.
+
+    Mirrors `cell::GetIdentityCell` (`pointnormal.h:62,79-81`): mean = point,
+    cov = 0.1*I, normal = (1, 0), planarity scale = 1, Nsamples = 1. The
+    fixed cell budget keeps the first `max_cells_raw` valid points.
+    """
+    m = cfg.feature.max_cells_raw
+    order = jnp.argsort(~points.valid, stable=True)[:m]
+    valid = points.valid[order]
+    xy = jnp.where(valid[:, None], points.xy[order], 0.0)
+    eye = jnp.broadcast_to(0.1 * jnp.eye(2, dtype=xy.dtype), (m, 2, 2))
+    normal = jnp.broadcast_to(jnp.asarray([1.0, 0.0], xy.dtype), (m, 2))
+    ones = jnp.ones((m,), xy.dtype)
+    return CellMap(mean=xy, normal=jnp.where(valid[:, None], normal, 0.0),
+                   cov=jnp.where(valid[:, None, None], eye, 0.0),
+                   nsamples=jnp.where(valid, ones, 0.0),
+                   planarity=jnp.where(valid, ones, 0.0),
+                   valid=valid)
+
+
 def transform_cells(cells: CellMap, pose) -> CellMap:
     """Rigid-transform a cell map by an SE(2) pose.
 

@@ -112,6 +112,36 @@ def _chol2_lower(a, b, c):
     return l11, l21, l22
 
 
+def _solve3(A, b, eps=1e-30):
+    """Closed-form 3x3 solve via the adjugate — pure arithmetic that XLA can
+    fuse, instead of a LAPACK-style factorization kernel (hot path: one solve
+    per LM iteration)."""
+    a00, a01, a02 = A[0, 0], A[0, 1], A[0, 2]
+    a10, a11, a12 = A[1, 0], A[1, 1], A[1, 2]
+    a20, a21, a22 = A[2, 0], A[2, 1], A[2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a02 * a21 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c10 = a12 * a20 - a10 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a02 * a10 - a00 * a12
+    c20 = a10 * a21 - a11 * a20
+    c21 = a01 * a20 - a00 * a21
+    c22 = a00 * a11 - a01 * a10
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > eps, det, eps)
+    x0 = (c00 * b[0] + c01 * b[1] + c02 * b[2]) * inv_det
+    x1 = (c10 * b[0] + c11 * b[1] + c12 * b[2]) * inv_det
+    x2 = (c20 * b[0] + c21 * b[1] + c22 * b[2]) * inv_det
+    return jnp.stack([x0, x1, x2])
+
+
+def _inv3(A, eps=1e-30):
+    """Closed-form 3x3 inverse (adjugate/det)."""
+    cols = [_solve3(A, jnp.eye(3, dtype=A.dtype)[:, i], eps) for i in range(3)]
+    return jnp.stack(cols, axis=1)
+
+
 def _target_terms(kf_cells: CellMap, kf_poses, assoc: Associations,
                   cfg: CFEARConfig):
     """Per-association target quantities in the world frame (fixed per outer
@@ -181,6 +211,23 @@ def _residuals(pose, src: CellMap, tgt, cfg: CFEARConfig):
     return diff, J
 
 
+def _cost_only(pose, src, tgt, assoc: Associations, cfg: CFEARConfig,
+               guess, soft_scale, soft_sqrt_info):
+    """Total robust cost without gradient/Hessian (cheap trial evaluation)."""
+    reg = cfg.registration
+    r, _ = _residuals(pose, src, tgt, cfg)
+    s = jnp.sum(r * r, -1)
+    rho_s, _ = losses.rho(s, reg.loss, reg.loss_limit)
+    w = assoc.weight * assoc.valid
+    cost = 0.5 * jnp.sum(w * rho_s)
+    if reg.soft_constraint and soft_sqrt_info is not None:
+        d = pose - guess
+        d = d.at[2].set(se2.normalize_angle(d[2]))
+        rs = soft_scale * (soft_sqrt_info @ d)
+        cost = cost + 0.5 * jnp.sum(rs * rs)
+    return cost
+
+
 def _cost_grad_hess(pose, src, tgt, assoc: Associations, cfg: CFEARConfig,
                     guess, soft_scale, soft_sqrt_info):
     """Total robust cost, gradient and IRLS Gauss-Newton Hessian (3x3)."""
@@ -193,7 +240,7 @@ def _cost_grad_hess(pose, src, tgt, assoc: Associations, cfg: CFEARConfig,
     wd = w * drho
     g = jnp.einsum("sm,smdp,smd->p", wd, J, r)
     H = jnp.einsum("sm,smdp,smdq->pq", wd, J, J)
-    if reg.soft_constraint:
+    if reg.soft_constraint and soft_sqrt_info is not None:
         # mahalanobis prior on the initial guess, weighted sqrt(N cells)
         # (`n_scan_normal.cpp:373-377`)
         d = pose - guess
@@ -213,6 +260,8 @@ def _cost_grad_hess(pose, src, tgt, assoc: Associations, cfg: CFEARConfig,
 class _LMState(NamedTuple):
     pose: jax.Array
     cost: jax.Array
+    g: jax.Array
+    H: jax.Array
     radius: jax.Array
     decrease_factor: jax.Array
     itr: jax.Array
@@ -229,28 +278,38 @@ def _lm_solve(pose0, src, tgt, assoc, cfg: CFEARConfig, guess,
         return _cost_grad_hess(p, src, tgt, assoc, cfg, guess,
                                soft_scale, soft_sqrt_info)
 
-    cost0, _, _ = cgh(pose0)
+    def ceval(p):
+        return _cost_only(p, src, tgt, assoc, cfg, guess,
+                          soft_scale, soft_sqrt_info)
+
+    cost0, g0, H0 = cgh(pose0)
 
     def body(st: _LMState) -> _LMState:
-        cost, g, H = cgh(st.pose)
-        diag = jnp.clip(jnp.diag(H), 1e-6, 1e32)
-        Hlm = H + jnp.diag(diag) / st.radius
-        delta = -jnp.linalg.solve(Hlm + 1e-12 * jnp.eye(3), g)
+        # carried (cost, g, H) are valid at st.pose: one trial (cost-only)
+        # pass + one full pass at the selected pose per iteration
+        diag = jnp.clip(jnp.diag(st.H), 1e-6, 1e32)
+        Hlm = st.H + jnp.diag(diag) / st.radius
+        delta = -_solve3(Hlm, st.g)
         new_pose = st.pose + delta
-        new_cost, _, _ = cgh(new_pose)
-        model_red = -(g @ delta + 0.5 * delta @ (H @ delta))
-        rel_decrease = (cost - new_cost) / jnp.maximum(model_red, 1e-30)
+        new_cost = ceval(new_pose)
+        model_red = -(st.g @ delta + 0.5 * delta @ (st.H @ delta))
+        rel_decrease = (st.cost - new_cost) / jnp.maximum(model_red, 1e-30)
         accept = (rel_decrease > 1e-3) & jnp.isfinite(new_cost)
         # ceres trust-region radius update
         shrink = 1.0 - (2.0 * rel_decrease - 1.0) ** 3
         radius_ok = st.radius / jnp.maximum(jnp.maximum(shrink, 1.0 / 3.0), 1e-3)
         radius_bad = st.radius / st.decrease_factor
-        func_conv = jnp.abs(cost - new_cost) <= reg.function_tolerance * cost
+        func_conv = jnp.abs(st.cost - new_cost) <= reg.function_tolerance * st.cost
         step_small = jnp.linalg.norm(delta) <= 1e-8 * (jnp.linalg.norm(st.pose) + 1e-8)
         done = (accept & func_conv) | step_small | (radius_bad < 1e-32)
+        sel_pose = jnp.where(accept, new_pose, st.pose)
+        # only recompute grad/Hessian when the step was accepted (lax.cond
+        # executes a single branch when not vmapped)
+        cost2, g2, H2 = jax.lax.cond(
+            accept, lambda: cgh(new_pose), lambda: (st.cost, st.g, st.H))
         return _LMState(
-            pose=jnp.where(accept, new_pose, st.pose),
-            cost=jnp.where(accept, new_cost, cost),
+            pose=sel_pose,
+            cost=cost2, g=g2, H=H2,
             radius=jnp.where(accept, jnp.minimum(radius_ok, 1e16), radius_bad),
             decrease_factor=jnp.where(accept, 2.0, st.decrease_factor * 2.0),
             itr=st.itr + 1,
@@ -262,7 +321,7 @@ def _lm_solve(pose0, src, tgt, assoc, cfg: CFEARConfig, guess,
     def cond(st: _LMState):
         return (~st.done) & (st.itr < reg.max_itr_solver)
 
-    init = _LMState(pose=pose0, cost=cost0,
+    init = _LMState(pose=pose0, cost=cost0, g=g0, H=H0,
                     radius=jnp.asarray(1e4, pose0.dtype),
                     decrease_factor=jnp.asarray(2.0, pose0.dtype),
                     itr=jnp.asarray(0, jnp.int32), steps=jnp.asarray(0, jnp.int32),
@@ -301,12 +360,16 @@ def register(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, guess,
     dtype = guess.dtype
     res_dim = 1 if reg.cost == "P2L" else 2
 
-    if reg_cov_guess is None:
-        reg_cov_guess = jnp.eye(3, dtype=dtype)
-    soft_scale = jnp.sqrt(jnp.maximum(jnp.sum(src.valid), 1.0)).astype(dtype)
-    # sqrt information of the guess prior: chol of cov^{-1}
-    soft_sqrt_info = jnp.linalg.cholesky(
-        jnp.linalg.inv(reg_cov_guess + 1e-9 * jnp.eye(3, dtype=dtype)))
+    if reg.soft_constraint:
+        if reg_cov_guess is None:
+            reg_cov_guess = jnp.eye(3, dtype=dtype)
+        soft_scale = jnp.sqrt(jnp.maximum(jnp.sum(src.valid), 1.0)).astype(dtype)
+        # sqrt information of the guess prior: chol of cov^{-1}
+        soft_sqrt_info = jnp.linalg.cholesky(
+            _inv3(reg_cov_guess + 1e-9 * jnp.eye(3, dtype=dtype)))
+    else:
+        soft_scale = jnp.asarray(0.0, dtype)
+        soft_sqrt_info = None
 
     def outer_body(st: _OuterState) -> _OuterState:
         itr1 = st.itr + 1
@@ -366,7 +429,7 @@ def register(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, guess,
     cost_f, _, H = _cost_grad_hess(final.pose, src, tgt, assoc, cfg, guess,
                                    soft_scale, soft_sqrt_info)
     dof = jnp.maximum(final.num_res_scalars.astype(dtype) - 3.0, 1.0)
-    Hinv = jnp.linalg.inv(H + 1e-9 * jnp.eye(3, dtype=dtype))
+    Hinv = _inv3(H + 1e-9 * jnp.eye(3, dtype=dtype))
     cov = reg.covariance_scaler * (cost_f / dof) * Hinv
     score = final.final_cost / jnp.maximum(
         final.num_res_scalars.astype(dtype), 1.0)
@@ -374,6 +437,24 @@ def register(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, guess,
         pose=final.pose, cov=cov, success=~final.failed, score=score,
         final_cost=final.final_cost, num_assoc=final.num_assoc,
         iterations=final.itr)
+
+
+def register_time_continuous(kf_cells: CellMap, kf_poses, kf_valid,
+                             src: CellMap, guess, tvel, ccw: bool,
+                             cfg: CFEARConfig = None) -> RegistrationResult:
+    """Time-continuous variant (`RegisterTimeContinuous`,
+    `n_scan_normal.cpp:67-80`): each source cell is pre-warped by the scaled
+    velocity at its relative scan time before the ordinary solve. The
+    reference folds the (FIXED, non-optimized) velocity warp into the cost
+    functor (`P2PEfficientContinuousCost`, `n_scan_normal.h:363-404`) and
+    into association (`:233-237`); pre-compensating the cells is equivalent.
+    Flag-gated and off by default, like the reference ("doesn't improve
+    results", `n_scan_normal.cpp:227`).
+    """
+    from cfear_radarodometry_code_public_tpu.ops.features import (
+        compensate_cells)
+    src_warped = compensate_cells(src, tvel, ccw)
+    return register(kf_cells, kf_poses, kf_valid, src_warped, guess, cfg=cfg)
 
 
 def sample_covariance(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap,

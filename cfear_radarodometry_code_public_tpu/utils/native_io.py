@@ -1,0 +1,209 @@
+"""ctypes bindings for the native radar data plane (`native/cfear_io.cpp`).
+
+Builds the shared library on demand with g++ (cached next to the source).
+Provides:
+- `pack_sequence`: PNG directory / ndarray -> packed binary sweep file
+- `RadarPack`: mmap reader
+- `PrefetchLoader`: background-thread batch prefetcher feeding fixed-size
+  uint8 batches, so device transfers overlap disk IO.
+
+Falls back to a NumPy implementation when no C++ toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "cfear_io.cpp")
+_LIB = os.path.join(_REPO_ROOT, "native", "libcfear_io.so")
+
+_lib_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_lib_failed = False
+
+
+def _load_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_failed
+    with _lib_lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        try:
+            if (not os.path.exists(_LIB)
+                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     "-pthread", _SRC, "-o", _LIB],
+                    check=True, capture_output=True)
+            lib = ctypes.CDLL(_LIB)
+            lib.cfear_pack_create.restype = ctypes.c_void_p
+            lib.cfear_pack_create.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
+                                              ctypes.c_uint64, ctypes.c_uint64]
+            lib.cfear_pack_append.restype = ctypes.c_int
+            lib.cfear_pack_append.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                              ctypes.c_void_p, ctypes.c_uint64,
+                                              ctypes.c_uint64]
+            lib.cfear_pack_close_writer.argtypes = [ctypes.c_void_p]
+            lib.cfear_pack_open.restype = ctypes.c_void_p
+            lib.cfear_pack_open.argtypes = [ctypes.c_char_p]
+            lib.cfear_pack_info.argtypes = [ctypes.c_void_p] + \
+                [ctypes.POINTER(ctypes.c_uint64)] * 3
+            lib.cfear_pack_read.restype = ctypes.c_int
+            lib.cfear_pack_read.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                            ctypes.c_void_p,
+                                            ctypes.POINTER(ctypes.c_uint64)]
+            lib.cfear_pack_close.argtypes = [ctypes.c_void_p]
+            lib.cfear_loader_create.restype = ctypes.c_void_p
+            lib.cfear_loader_create.argtypes = [ctypes.c_void_p,
+                                                ctypes.c_uint64,
+                                                ctypes.c_uint64, ctypes.c_int]
+            lib.cfear_loader_next.restype = ctypes.c_uint64
+            lib.cfear_loader_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                              ctypes.c_void_p,
+                                              ctypes.POINTER(ctypes.c_uint64)]
+            lib.cfear_loader_destroy.argtypes = [ctypes.c_void_p]
+            _lib = lib
+        except Exception:
+            _lib_failed = True
+        return _lib
+
+
+def native_available() -> bool:
+    return _load_lib() is not None
+
+
+def pack_frames(path: str,
+                frames: Iterator[Tuple[float, np.ndarray]],
+                n_frames: int) -> None:
+    """Write (timestamp_s, (A, R) uint8) frames into a radar pack file."""
+    frames = iter(frames)
+    first_stamp, first = next(frames)
+    a, r = first.shape
+    lib = _load_lib()
+    if lib is not None:
+        h = lib.cfear_pack_create(path.encode(), n_frames, a, r)
+        if not h:
+            raise OSError(f"cannot create pack '{path}'")
+
+        def append(stamp, img):
+            img = np.ascontiguousarray(img, np.uint8)
+            lib.cfear_pack_append(h, int(stamp * 1e9),
+                                  img.ctypes.data_as(ctypes.c_void_p), a, r)
+
+        append(first_stamp, first)
+        for stamp, img in frames:
+            append(stamp, img)
+        lib.cfear_pack_close_writer(h)
+        return
+    # numpy fallback: same byte layout
+    with open(path, "wb") as f:
+        hdr = np.array([0x5241444152504b31, n_frames, a, r], np.uint64)
+        f.write(hdr.tobytes())
+        f.write(np.uint64(int(first_stamp * 1e9)).tobytes())
+        f.write(np.ascontiguousarray(first, np.uint8).tobytes())
+        for stamp, img in frames:
+            f.write(np.uint64(int(stamp * 1e9)).tobytes())
+            f.write(np.ascontiguousarray(img, np.uint8).tobytes())
+
+
+class RadarPack:
+    """mmap reader over a packed sweep file."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._lib = _load_lib()
+        if self._lib is not None:
+            self._h = self._lib.cfear_pack_open(path.encode())
+            if not self._h:
+                raise OSError(f"cannot open pack '{path}'")
+            n = ctypes.c_uint64()
+            a = ctypes.c_uint64()
+            r = ctypes.c_uint64()
+            self._lib.cfear_pack_info(self._h, ctypes.byref(n),
+                                      ctypes.byref(a), ctypes.byref(r))
+            self.n_frames, self.n_azimuths, self.n_bins = (
+                n.value, a.value, r.value)
+        else:
+            self._mm = np.memmap(path, np.uint8, "r")
+            hdr = self._mm[:32].view(np.uint64)
+            assert hdr[0] == 0x5241444152504b31
+            self.n_frames, self.n_azimuths, self.n_bins = (
+                int(hdr[1]), int(hdr[2]), int(hdr[3]))
+            self._h = None
+
+    def read(self, idx: int) -> Tuple[float, np.ndarray]:
+        a, r = self.n_azimuths, self.n_bins
+        if self._h is not None:
+            out = np.empty((a, r), np.uint8)
+            stamp = ctypes.c_uint64()
+            rc = self._lib.cfear_pack_read(
+                self._h, idx, out.ctypes.data_as(ctypes.c_void_p),
+                ctypes.byref(stamp))
+            if rc != 0:
+                raise IndexError(idx)
+            return stamp.value * 1e-9, out
+        fb = 8 + a * r
+        off = 32 + idx * fb
+        stamp = self._mm[off:off + 8].view(np.uint64)[0]
+        img = self._mm[off + 8:off + fb].reshape(a, r).copy()
+        return float(stamp) * 1e-9, img
+
+    def close(self):
+        if self._h is not None:
+            self._lib.cfear_pack_close(self._h)
+            self._h = None
+
+
+class PrefetchLoader:
+    """Background-thread batched prefetch over a RadarPack (native when
+    available, Python thread fallback otherwise)."""
+
+    def __init__(self, pack: RadarPack, batch: int, depth: int = 3,
+                 loop: bool = False):
+        self.pack = pack
+        self.batch = batch
+        self._lib = _load_lib() if pack._h is not None else None
+        if self._lib is not None:
+            self._h = self._lib.cfear_loader_create(pack._h, batch, depth,
+                                                    1 if loop else 0)
+        else:
+            self._h = None
+            self._idx = 0
+            self._loop = loop
+
+    def next(self):
+        """Returns (frames (n, A, R) uint8, stamps_s (n,), first_idx) or None
+        at end of stream."""
+        a, r = self.pack.n_azimuths, self.pack.n_bins
+        if self._h is not None:
+            data = np.empty((self.batch, a, r), np.uint8)
+            stamps = np.empty(self.batch, np.uint64)
+            first = ctypes.c_uint64()
+            n = self._lib.cfear_loader_next(
+                self._h, data.ctypes.data_as(ctypes.c_void_p),
+                stamps.ctypes.data_as(ctypes.c_void_p), ctypes.byref(first))
+            if n == 0:
+                return None
+            return data[:n], stamps[:n].astype(np.float64) * 1e-9, first.value
+        if self._idx >= self.pack.n_frames:
+            return None
+        n = min(self.batch, self.pack.n_frames - self._idx)
+        data = np.empty((n, a, r), np.uint8)
+        stamps = np.empty(n)
+        for k in range(n):
+            stamps[k], data[k] = self.pack.read(self._idx + k)
+        first = self._idx
+        self._idx += n
+        return data, stamps, first
+
+    def close(self):
+        if self._h is not None:
+            self._lib.cfear_loader_destroy(self._h)
+            self._h = None

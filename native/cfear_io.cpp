@@ -1,0 +1,245 @@
+// cfear_io: native radar data plane.
+//
+// The reference ingests radar sweeps from rosbags on the main thread
+// (offline_odometry.cpp:64-126, radar_driver.cpp:74-111). For TPU feeding,
+// decode/IO must never stall the device, so this library provides:
+//
+//  - a packed binary sweep format ("radar pack"): one mmap-able file holding
+//    all polar sweeps of a sequence contiguously (header + per-frame
+//    timestamp + A*R uint8 payload), convertible once from PNG directories;
+//  - a zero-copy mmap reader;
+//  - a multi-threaded prefetch loader that assembles fixed-size frame
+//    batches in pinned host buffers ahead of the consumer (double-buffered
+//    ring), so the host->TPU transfer pipeline stays full.
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 dependency).
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+constexpr uint64_t kMagic = 0x5241444152504b31ull;  // "RADARPK1"
+
+struct PackHeader {
+  uint64_t magic;
+  uint64_t n_frames;
+  uint64_t n_azimuths;
+  uint64_t n_bins;
+};
+
+struct Pack {
+  int fd = -1;
+  const uint8_t* map = nullptr;
+  size_t map_size = 0;
+  PackHeader hdr{};
+  size_t frame_bytes() const { return 8 + hdr.n_azimuths * hdr.n_bins; }
+  const uint8_t* frame(uint64_t i) const {
+    return map + sizeof(PackHeader) + i * frame_bytes();
+  }
+};
+
+struct Batch {
+  std::vector<uint8_t> data;
+  std::vector<uint64_t> stamps;
+  uint64_t first_frame = 0;
+  uint64_t n = 0;
+};
+
+struct Loader {
+  Pack* pack = nullptr;
+  uint64_t batch = 0;
+  uint64_t next_submit = 0;
+  uint64_t total = 0;
+  size_t depth = 0;
+  bool loop = false;
+
+  std::deque<Batch*> ready;
+  std::deque<Batch*> free_bufs;
+  std::vector<std::unique_ptr<Batch>> all;
+  std::mutex mu;
+  std::condition_variable cv_ready, cv_free;
+  std::atomic<bool> stop{false};
+  std::thread worker;
+};
+
+void loader_thread(Loader* L) {
+  const size_t fb = L->pack->hdr.n_azimuths * L->pack->hdr.n_bins;
+  while (!L->stop.load()) {
+    if (!L->loop && L->next_submit >= L->total) break;
+    Batch* b = nullptr;
+    {
+      std::unique_lock<std::mutex> lk(L->mu);
+      L->cv_free.wait(lk, [&] { return L->stop.load() || !L->free_bufs.empty(); });
+      if (L->stop.load()) break;
+      b = L->free_bufs.front();
+      L->free_bufs.pop_front();
+    }
+    b->first_frame = L->next_submit;
+    b->n = 0;
+    for (uint64_t k = 0; k < L->batch; ++k) {
+      uint64_t idx = L->next_submit + k;
+      if (L->loop) idx %= L->total;
+      if (!L->loop && idx >= L->total) break;
+      const uint8_t* src = L->pack->frame(idx);
+      std::memcpy(&b->stamps[k], src, 8);
+      std::memcpy(b->data.data() + k * fb, src + 8, fb);
+      b->n++;
+    }
+    L->next_submit += b->n;
+    {
+      std::lock_guard<std::mutex> lk(L->mu);
+      L->ready.push_back(b);
+    }
+    L->cv_ready.notify_one();
+  }
+  // signal end-of-stream with an empty batch
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->ready.push_back(nullptr);
+  }
+  L->cv_ready.notify_one();
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------- pack writer ----------------
+void* cfear_pack_create(const char* path, uint64_t n_frames,
+                        uint64_t n_azimuths, uint64_t n_bins) {
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return nullptr;
+  PackHeader hdr{kMagic, n_frames, n_azimuths, n_bins};
+  std::fwrite(&hdr, sizeof(hdr), 1, f);
+  return f;
+}
+
+int cfear_pack_append(void* handle, uint64_t stamp_ns, const uint8_t* data,
+                      uint64_t n_azimuths, uint64_t n_bins) {
+  FILE* f = static_cast<FILE*>(handle);
+  if (std::fwrite(&stamp_ns, 8, 1, f) != 1) return -1;
+  if (std::fwrite(data, 1, n_azimuths * n_bins, f) != n_azimuths * n_bins)
+    return -1;
+  return 0;
+}
+
+int cfear_pack_close_writer(void* handle) {
+  return std::fclose(static_cast<FILE*>(handle));
+}
+
+// ---------------- pack reader (mmap) ----------------
+void* cfear_pack_open(const char* path) {
+  int fd = ::open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0) { ::close(fd); return nullptr; }
+  void* map = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+  if (map == MAP_FAILED) { ::close(fd); return nullptr; }
+  Pack* p = new Pack();
+  p->fd = fd;
+  p->map = static_cast<const uint8_t*>(map);
+  p->map_size = st.st_size;
+  std::memcpy(&p->hdr, p->map, sizeof(PackHeader));
+  if (p->hdr.magic != kMagic) {
+    munmap(map, st.st_size); ::close(fd); delete p; return nullptr;
+  }
+  return p;
+}
+
+void cfear_pack_info(void* handle, uint64_t* n_frames, uint64_t* n_azimuths,
+                     uint64_t* n_bins) {
+  Pack* p = static_cast<Pack*>(handle);
+  *n_frames = p->hdr.n_frames;
+  *n_azimuths = p->hdr.n_azimuths;
+  *n_bins = p->hdr.n_bins;
+}
+
+int cfear_pack_read(void* handle, uint64_t idx, uint8_t* out,
+                    uint64_t* stamp_ns) {
+  Pack* p = static_cast<Pack*>(handle);
+  if (idx >= p->hdr.n_frames) return -1;
+  const uint8_t* src = p->frame(idx);
+  std::memcpy(stamp_ns, src, 8);
+  std::memcpy(out, src + 8, p->hdr.n_azimuths * p->hdr.n_bins);
+  return 0;
+}
+
+void cfear_pack_close(void* handle) {
+  Pack* p = static_cast<Pack*>(handle);
+  munmap(const_cast<uint8_t*>(p->map), p->map_size);
+  ::close(p->fd);
+  delete p;
+}
+
+// ---------------- prefetch loader ----------------
+void* cfear_loader_create(void* pack_handle, uint64_t batch, uint64_t depth,
+                          int loop) {
+  Pack* p = static_cast<Pack*>(pack_handle);
+  Loader* L = new Loader();
+  L->pack = p;
+  L->batch = batch;
+  L->depth = depth;
+  L->loop = loop != 0;
+  L->total = p->hdr.n_frames;
+  const size_t fb = p->hdr.n_azimuths * p->hdr.n_bins;
+  for (size_t i = 0; i < depth; ++i) {
+    auto b = std::make_unique<Batch>();
+    b->data.resize(batch * fb);
+    b->stamps.resize(batch);
+    L->free_bufs.push_back(b.get());
+    L->all.push_back(std::move(b));
+  }
+  L->worker = std::thread(loader_thread, L);
+  return L;
+}
+
+// Blocks until the next batch is ready. Returns number of frames copied
+// (0 = end of stream). Copies into caller-owned memory and recycles the
+// internal buffer.
+uint64_t cfear_loader_next(void* handle, uint8_t* out_data,
+                           uint64_t* out_stamps, uint64_t* first_frame) {
+  Loader* L = static_cast<Loader*>(handle);
+  Batch* b = nullptr;
+  {
+    std::unique_lock<std::mutex> lk(L->mu);
+    L->cv_ready.wait(lk, [&] { return !L->ready.empty(); });
+    b = L->ready.front();
+    L->ready.pop_front();
+  }
+  if (b == nullptr) return 0;  // end of stream
+  const size_t fb = L->pack->hdr.n_azimuths * L->pack->hdr.n_bins;
+  std::memcpy(out_data, b->data.data(), b->n * fb);
+  std::memcpy(out_stamps, b->stamps.data(), b->n * 8);
+  *first_frame = b->first_frame;
+  uint64_t n = b->n;
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->free_bufs.push_back(b);
+  }
+  L->cv_free.notify_one();
+  return n;
+}
+
+void cfear_loader_destroy(void* handle) {
+  Loader* L = static_cast<Loader*>(handle);
+  L->stop.store(true);
+  L->cv_free.notify_all();
+  L->cv_ready.notify_all();
+  if (L->worker.joinable()) L->worker.join();
+  delete L;
+}
+
+}  // extern "C"
