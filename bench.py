@@ -129,6 +129,10 @@ def main():
         res = kitti_drift(traj, gt, step_size=5, lengths=(50.0, 100.0))
         print(f"synthetic drift: {res['t_err_percent']:.3f}% "
               f"({res['n_subsequences']} subseqs)", file=sys.stderr)
+        fo = runner.frame_outputs()
+        print(f"mean outer reg iterations: {fo.reg_iterations[1:].mean():.2f}; "
+              f"mean assoc: {fo.num_assoc[1:].mean():.0f}; "
+              f"mean cells: {fo.num_cells.mean():.0f}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "radar_odometry_frames_per_s_per_chip",

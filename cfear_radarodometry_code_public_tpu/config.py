@@ -77,6 +77,10 @@ class RegistrationConfig:
     loss_limit: float = 0.1
     weight_opt: str = "Combined"     # Uniform|Sim_N|Sim_direction|Sim_scale|Combined
     assoc_radius: float = 2.0        # kd 1-NN gate (`registration.h:122`); 2x on 1st itr
+    # "dense" (M x M distance matrix on the MXU — fastest on TPU) or "grid"
+    # (bucketed 3x3 lookup — fewer FLOPs but gather-bound; useful on CPU)
+    assoc_method: str = "dense"
+    bucket_capacity: int = 12        # max cells per association bucket
     angle_outlier_deg: float = 30.0  # normal gate cos(pi/6) (`n_scan_normal.cpp:219`)
     max_itr_association: int = 8     # outer loop (`n_scan_normal.h:75`)
     min_itr: int = 3
@@ -88,6 +92,7 @@ class RegistrationConfig:
     soft_constraint: bool = False
     covariance_scaler: float = 30.0  # Censi-style scaling (`n_scan_normal.cpp:418`)
     disable_registration: bool = False
+    use_fused_lm: bool = True        # Pallas single-kernel inner LM solve
 
 
 @dataclass(frozen=True)

@@ -60,6 +60,7 @@ class FrameOutput(NamedTuple):
     score: jax.Array
     num_assoc: jax.Array
     num_cells: jax.Array
+    reg_iterations: jax.Array
 
 
 def _tree_select(pred, a, b):
@@ -134,7 +135,8 @@ def make_step(cfg: CFEARConfig):
                 pose=ident, shift=ident, fused=jnp.asarray(True),
                 cov=jnp.eye(3, dtype=guess.dtype), success=jnp.asarray(True),
                 score=jnp.asarray(0.0, guess.dtype),
-                num_assoc=jnp.asarray(0, jnp.int32), num_cells=cells.n)
+                num_assoc=jnp.asarray(0, jnp.int32), num_cells=cells.n,
+                reg_iterations=jnp.asarray(0, jnp.int32))
             return new_state, out
 
         def normal(_):
@@ -181,7 +183,8 @@ def make_step(cfg: CFEARConfig):
                 pose=t_cur,
                 shift=jnp.where(fuse, t_cur, jnp.zeros_like(t_cur)),
                 fused=fuse, cov=cov, success=res.success,
-                score=res.score, num_assoc=res.num_assoc, num_cells=cells.n)
+                score=res.score, num_assoc=res.num_assoc, num_cells=cells.n,
+                reg_iterations=res.iterations)
             return new_state, out
 
         return jax.lax.cond(state.initialized, normal, bootstrap, None)

@@ -1,0 +1,243 @@
+"""Fused Pallas kernel: the entire inner Levenberg-Marquardt solve.
+
+The registration hot loop (`_lm_solve`) runs up to 20 trust-region
+iterations, each assembling a robust cost / gradient / 3x3 Gauss-Newton
+Hessian over all (keyframe, cell) associations. In XLA that is hundreds of
+small kernel launches per frame; here the WHOLE solve is one `pallas_call`:
+
+- association data is packed lane-major as (rows, S*M) f32 so every residual
+  quantity is a (1, N)-shaped VPU vector op (N = S*M, a multiple of 128);
+- the packed block (<= ~0.6 MB) lives in VMEM for the entire solve;
+- the LM loop runs inside the kernel as `lax.while_loop` over scalars, with
+  reductions (cost, g, H entries) on the VPU;
+- outputs (pose, cost, steps, last relative decrease) come back in one
+  (1, 128) vector.
+
+Row layout (cost-metric dependent, see `pack_associations`):
+  P2P / P2D: [sx, sy, mx, my, w, l11, l21, l22]   (l* = sqrt-info; 1/0 for P2P)
+  P2L:       [sx, sy, mx, my, w, nx, ny, pad]
+The robust loss rho/rho' is inlined per the static config (losses.rho).
+
+Runs in interpreter mode on CPU (tests) and compiled on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cfear_radarodometry_code_public_tpu.config import CFEARConfig
+from cfear_radarodometry_code_public_tpu.ops import losses
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def pack_associations(src_mean, tgt, assoc_weight, cfg: CFEARConfig):
+    """(S, M) association data -> (8, N) packed f32 block, N = round128(S*M).
+
+    Invalid associations carry weight 0 and contribute nothing.
+    """
+    reg = cfg.registration
+    s, m = assoc_weight.shape
+    n = s * m
+    npad = _round_up(n, 128)
+
+    def flat(x):
+        v = x.reshape(n)
+        return jnp.pad(v, (0, npad - n))
+
+    sx = flat(jnp.broadcast_to(src_mean[None, :, 0], (s, m)))
+    sy = flat(jnp.broadcast_to(src_mean[None, :, 1], (s, m)))
+    mx = flat(tgt["mean"][..., 0])
+    my = flat(tgt["mean"][..., 1])
+    w = flat(assoc_weight)
+    if reg.cost == "P2L":
+        r5 = flat(tgt["normal"][..., 0])
+        r6 = flat(tgt["normal"][..., 1])
+        r7 = jnp.zeros_like(w)
+    elif reg.cost == "P2D":
+        r5 = flat(tgt["sqrt_info"][..., 0])
+        r6 = flat(tgt["sqrt_info"][..., 1])
+        r7 = flat(tgt["sqrt_info"][..., 2])
+    else:  # P2P: identity sqrt-info
+        r5 = jnp.ones_like(w)
+        r6 = jnp.zeros_like(w)
+        r7 = jnp.ones_like(w)
+    return jnp.stack([sx, sy, mx, my, w, r5, r6, r7])
+
+
+def _lm_kernel(data_ref, init_ref, out_ref, *, cfg: CFEARConfig):
+    reg = cfg.registration
+    cost_metric = reg.cost
+
+    sx = data_ref[0, :]
+    sy = data_ref[1, :]
+    mx = data_ref[2, :]
+    my = data_ref[3, :]
+    w = data_ref[4, :]
+    r5 = data_ref[5, :]
+    r6 = data_ref[6, :]
+    r7 = data_ref[7, :]
+
+    def cgh(px, py, pt):
+        """cost, g(3,), H(6 upper entries) at pose (px, py, pt)."""
+        c, s = jnp.cos(pt), jnp.sin(pt)
+        tx = c * sx - s * sy + px       # transformed source
+        ty = s * sx + c * sy + py
+        jx = -s * sx - c * sy           # d(tx)/dtheta
+        jy = c * sx - s * sy            # d(ty)/dtheta
+        dx = tx - mx
+        dy = ty - my
+        if cost_metric == "P2L":
+            e = dx * r5 + dy * r6
+            ssq = e * e
+            rho, drho = losses.rho(ssq, reg.loss, reg.loss_limit)
+            wd = w * drho
+            # J = [nx, ny, nx*jx + ny*jy]
+            jt = r5 * jx + r6 * jy
+            cost = 0.5 * jnp.sum(w * rho)
+            gx = jnp.sum(wd * r5 * e)
+            gy = jnp.sum(wd * r6 * e)
+            gt = jnp.sum(wd * jt * e)
+            hxx = jnp.sum(wd * r5 * r5)
+            hxy = jnp.sum(wd * r5 * r6)
+            hxt = jnp.sum(wd * r5 * jt)
+            hyy = jnp.sum(wd * r6 * r6)
+            hyt = jnp.sum(wd * r6 * jt)
+            htt = jnp.sum(wd * jt * jt)
+        else:
+            # residual = L @ [dx, dy]; L = [[l11, 0], [l21, l22]]
+            e0 = r5 * dx
+            e1 = r6 * dx + r7 * dy
+            ssq = e0 * e0 + e1 * e1
+            rho, drho = losses.rho(ssq, reg.loss, reg.loss_limit)
+            wd = w * drho
+            cost = 0.5 * jnp.sum(w * rho)
+            # J0 = [l11, 0, l11*jx]; J1 = [l21, l22, l21*jx + l22*jy]
+            j0t = r5 * jx
+            j1t = r6 * jx + r7 * jy
+            gx = jnp.sum(wd * (r5 * e0 + r6 * e1))
+            gy = jnp.sum(wd * (r7 * e1))
+            gt = jnp.sum(wd * (j0t * e0 + j1t * e1))
+            hxx = jnp.sum(wd * (r5 * r5 + r6 * r6))
+            hxy = jnp.sum(wd * (r6 * r7))
+            hxt = jnp.sum(wd * (r5 * j0t + r6 * j1t))
+            hyy = jnp.sum(wd * (r7 * r7))
+            hyt = jnp.sum(wd * (r7 * j1t))
+            htt = jnp.sum(wd * (j0t * j0t + j1t * j1t))
+        return cost, (gx, gy, gt), (hxx, hxy, hxt, hyy, hyt, htt)
+
+    def cost_only(px, py, pt):
+        c, s = jnp.cos(pt), jnp.sin(pt)
+        tx = c * sx - s * sy + px
+        ty = s * sx + c * sy + py
+        dx = tx - mx
+        dy = ty - my
+        if cost_metric == "P2L":
+            e = dx * r5 + dy * r6
+            ssq = e * e
+        else:
+            e0 = r5 * dx
+            e1 = r6 * dx + r7 * dy
+            ssq = e0 * e0 + e1 * e1
+        rho, _ = losses.rho(ssq, reg.loss, reg.loss_limit)
+        return 0.5 * jnp.sum(w * rho)
+
+    def solve3(h, g):
+        hxx, hxy, hxt, hyy, hyt, htt = h
+        c00 = hyy * htt - hyt * hyt
+        c01 = hxt * hyt - hxy * htt
+        c02 = hxy * hyt - hxt * hyy
+        c11 = hxx * htt - hxt * hxt
+        c12 = hxy * hxt - hxx * hyt
+        c22 = hxx * hyy - hxy * hxy
+        det = hxx * c00 + hxy * c01 + hxt * c02
+        inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+        dx = (c00 * g[0] + c01 * g[1] + c02 * g[2]) * inv_det
+        dy = (c01 * g[0] + c11 * g[1] + c12 * g[2]) * inv_det
+        dt = (c02 * g[0] + c12 * g[1] + c22 * g[2]) * inv_det
+        return dx, dy, dt
+
+    px0 = init_ref[0, 0]
+    py0 = init_ref[0, 1]
+    pt0 = init_ref[0, 2]
+    cost0, g0, h0 = cgh(px0, py0, pt0)
+
+    def body(carry):
+        (px, py, pt, cost, g, h, radius, dec, itr, steps, lastrel, done) = carry
+        hxx, hxy, hxt, hyy, hyt, htt = h
+        dxx = jnp.clip(hxx, 1e-6, 1e32) / radius
+        dyy = jnp.clip(hyy, 1e-6, 1e32) / radius
+        dtt = jnp.clip(htt, 1e-6, 1e32) / radius
+        hlm = (hxx + dxx, hxy, hxt, hyy + dyy, hyt, htt + dtt)
+        sx_, sy_, st_ = solve3(hlm, (-g[0], -g[1], -g[2]))
+        npx, npy, npt = px + sx_, py + sy_, pt + st_
+        new_cost = cost_only(npx, npy, npt)
+        gd = g[0] * sx_ + g[1] * sy_ + g[2] * st_
+        hd0 = hxx * sx_ + hxy * sy_ + hxt * st_
+        hd1 = hxy * sx_ + hyy * sy_ + hyt * st_
+        hd2 = hxt * sx_ + hyt * sy_ + htt * st_
+        model_red = -(gd + 0.5 * (sx_ * hd0 + sy_ * hd1 + st_ * hd2))
+        rel = (cost - new_cost) / jnp.maximum(model_red, 1e-30)
+        accept = (rel > 1e-3) & jnp.isfinite(new_cost)
+        shrink = 1.0 - (2.0 * rel - 1.0) ** 3
+        r_ok = radius / jnp.maximum(jnp.maximum(shrink, 1.0 / 3.0), 1e-3)
+        r_bad = radius / dec
+        func_conv = jnp.abs(cost - new_cost) <= reg.function_tolerance * cost
+        stepn = jnp.sqrt(sx_ * sx_ + sy_ * sy_ + st_ * st_)
+        posen = jnp.sqrt(px * px + py * py + pt * pt)
+        step_small = stepn <= 1e-8 * (posen + 1e-8)
+        new_done = (accept & func_conv) | step_small | (r_bad < 1e-32)
+        spx = jnp.where(accept, npx, px)
+        spy = jnp.where(accept, npy, py)
+        spt = jnp.where(accept, npt, pt)
+        cost2, g2, h2 = cgh(spx, spy, spt)
+        cost2 = jnp.where(accept, cost2, cost)
+        g2 = tuple(jnp.where(accept, a, b) for a, b in zip(g2, g))
+        h2 = tuple(jnp.where(accept, a, b) for a, b in zip(h2, h))
+        return (spx, spy, spt, cost2, g2, h2,
+                jnp.where(accept, jnp.minimum(r_ok, 1e16), r_bad),
+                jnp.where(accept, 2.0, dec * 2.0),
+                itr + 1, steps + accept.astype(jnp.int32), rel, new_done)
+
+    def cond(carry):
+        itr, done = carry[8], carry[11]
+        return jnp.logical_not(done) & (itr < reg.max_itr_solver)
+
+    init = (px0, py0, pt0, cost0, g0, h0,
+            jnp.float32(1e4), jnp.float32(2.0),
+            jnp.int32(0), jnp.int32(0), jnp.float32(jnp.inf), False)
+    (px, py, pt, cost, g, h, radius, dec, itr, steps, lastrel, done) = \
+        jax.lax.while_loop(cond, body, init)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    out = jnp.where(lane == 0, px,
+          jnp.where(lane == 1, py,
+          jnp.where(lane == 2, pt,
+          jnp.where(lane == 3, cost,
+          jnp.where(lane == 4, steps.astype(jnp.float32),
+          jnp.where(lane == 5, lastrel, 0.0))))))
+    out_ref[:, :] = out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def lm_solve_fused(packed, pose0, cfg: CFEARConfig, interpret: bool = False):
+    """Run the fused LM solve. Returns (pose (3,), cost, steps, last_rel)."""
+    init = jnp.zeros((1, 128), jnp.float32).at[0, :3].set(
+        pose0.astype(jnp.float32))
+    out = pl.pallas_call(
+        functools.partial(_lm_kernel, cfg=cfg),
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(packed.astype(jnp.float32), init)
+    pose = out[0, :3].astype(pose0.dtype)
+    return pose, out[0, 3], out[0, 4].astype(jnp.int32), out[0, 5]

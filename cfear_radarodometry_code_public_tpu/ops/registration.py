@@ -62,8 +62,75 @@ class RegistrationResult(NamedTuple):
 # association
 # ---------------------------------------------------------------------------
 
+def _bucket_geometry(cfg: CFEARConfig):
+    """Static bucket grid: bin size = the largest search radius (the
+    coarse-to-fine first iteration uses 2 * assoc_radius), so the exact 1-NN
+    within radius is always inside the 3x3 bucket neighborhood."""
+    bin_size = 2.0 * cfg.registration.assoc_radius
+    half = int(math.ceil(cfg.radar.max_usable_range / bin_size)) + 2
+    return bin_size, 2 * half
+
+
+def build_buckets(cells: CellMap, cfg: CFEARConfig) -> jax.Array:
+    """Bucket table over one scan's cell means: (G*G*B + 1,) int32 of cell
+    indices, -1 where empty (last slot is the overflow sink). Cells never
+    move in their local frame, so the table is built once per scan."""
+    bin_size, g = _bucket_geometry(cfg)
+    b = cfg.registration.bucket_capacity
+    m = cells.mean.shape[0]
+    bi = jnp.floor(cells.mean / bin_size).astype(jnp.int32) + g // 2
+    in_grid = cells.valid & jnp.all((bi >= 0) & (bi < g), axis=-1)
+    bid = jnp.where(in_grid, bi[:, 0] * g + bi[:, 1], g * g)
+    order = jnp.argsort(bid)
+    sorted_bid = bid[order]
+    # rank within equal-bid run
+    first = jnp.searchsorted(sorted_bid, sorted_bid, side="left")
+    rank = jnp.arange(m) - first
+    slot = jnp.where((rank < b) & (sorted_bid < g * g),
+                     sorted_bid * b + rank, g * g * b)
+    table = jnp.full((g * g * b + 1,), -1, jnp.int32)
+    return table.at[slot].set(order.astype(jnp.int32))
+
+
+def _associate_grid(cells_i: CellMap, table_i, t_rel, src: CellMap,
+                    valid_i, radius, cfg: CFEARConfig, cos_gate):
+    """Exact 1-NN via 3x3 bucket lookup (candidates gathered per source)."""
+    reg = cfg.registration
+    bin_size, g = _bucket_geometry(cfg)
+    b = reg.bucket_capacity
+    src_mean_t = se2.transform(t_rel, src.mean)               # (M, 2)
+    src_norm_t = se2.rotate(t_rel, src.normal)
+    bi = jnp.floor(src_mean_t / bin_size).astype(jnp.int32) + g // 2
+    cand_list = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            tx = bi[:, 0] + dx
+            ty = bi[:, 1] + dy
+            ok = (tx >= 0) & (tx < g) & (ty >= 0) & (ty < g)
+            base = jnp.where(ok, (tx * g + ty) * b, g * g * b)
+            cand_list.append(base[:, None] + jnp.arange(b)[None, :])
+    cand = jnp.concatenate(cand_list, axis=1)                 # (M, 9B)
+    cand = jnp.minimum(cand, g * g * b)                       # overflow sink
+    idx = table_i[cand]                                       # (M, 9B) cell ids
+    cand_ok = idx >= 0
+    idx_safe = jnp.maximum(idx, 0)
+    tmean = cells_i.mean[idx_safe]                            # (M, 9B, 2)
+    d2 = jnp.sum((src_mean_t[:, None, :] - tmean) ** 2, -1)
+    d2 = jnp.where(cand_ok & cells_i.valid[idx_safe], d2, jnp.inf)
+    j = jnp.argmin(d2, axis=1)
+    nn = jnp.take_along_axis(idx_safe, j[:, None], axis=1)[:, 0]
+    nn_d2 = jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]
+    sim_dir = jnp.maximum(jnp.sum(src_norm_t * cells_i.normal[nn], -1), 0.0)
+    ok = (src.valid & valid_i & (nn_d2 < radius * radius)
+          & (sim_dir > cos_gate))
+    w = losses.association_weight(
+        reg.weight_opt, src.nsamples, cells_i.nsamples[nn], sim_dir,
+        src.planarity, cells_i.planarity[nn])
+    return nn.astype(jnp.int32), jnp.where(ok, w, 0.0), ok
+
+
 def associate(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, src_pose,
-              radius, cfg: CFEARConfig) -> Associations:
+              radius, cfg: CFEARConfig, buckets=None) -> Associations:
     """1-NN association of source cells to each keyframe's cells.
 
     Mirrors `AddScanPairCost` (`n_scan_normal.cpp:215-263`): source means are
@@ -72,9 +139,27 @@ def associate(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, src_pose,
     dot(R_rel n_src, n_tar) > cos(30 deg), max one correspondence per source
     cell; weights from (N_src, N_tar, sim_dir, planarity) per the configured
     weight option.
+
+    Two equivalent backends: "dense" materializes the (M_src, M_tar) distance
+    matrix on the MXU; "grid" (default) looks up the 3x3 neighborhood of a
+    per-keyframe bucket table — identical nearest neighbors (bucket bin >=
+    search radius) at ~1/30th the memory traffic.
     """
     reg = cfg.registration
     cos_gate = math.cos(math.radians(reg.angle_outlier_deg))
+
+    if reg.assoc_method == "grid":
+        if buckets is None:
+            buckets = jax.vmap(lambda c: build_buckets(c, cfg))(kf_cells)
+
+        def per_keyframe_grid(cells_i, table_i, pose_i, valid_i):
+            t_rel = se2.relative(pose_i, src_pose)
+            return _associate_grid(cells_i, table_i, t_rel, src, valid_i,
+                                   radius, cfg, cos_gate)
+
+        tar_idx, weight, valid = jax.vmap(per_keyframe_grid)(
+            kf_cells, buckets, kf_poses, kf_valid)
+        return Associations(tar_idx, weight, valid)
 
     def per_keyframe(cells_i: CellMap, pose_i, valid_i):
         t_rel = se2.relative(pose_i, src_pose)
@@ -371,17 +456,35 @@ def register(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, guess,
         soft_scale = jnp.asarray(0.0, dtype)
         soft_sqrt_info = None
 
+    if reg.assoc_method == "grid":
+        buckets = jax.vmap(lambda c: build_buckets(c, cfg))(kf_cells)
+    else:
+        buckets = None
+
     def outer_body(st: _OuterState) -> _OuterState:
         itr1 = st.itr + 1
         # coarse-to-fine association radius (`n_scan_normal.cpp:222`)
         radius = jnp.where(itr1 == 1, 2.0 * reg.assoc_radius, reg.assoc_radius)
-        assoc = associate(kf_cells, kf_poses, kf_valid, src, st.pose, radius, cfg)
+        assoc = associate(kf_cells, kf_poses, kf_valid, src, st.pose, radius,
+                          cfg, buckets)
         n_assoc = jnp.sum(assoc.valid)
         n_res = n_assoc * res_dim + (3 if reg.soft_constraint else 0)
         failed = n_res <= 1                     # (`n_scan_normal.cpp:370`)
         tgt = _target_terms(kf_cells, kf_poses, assoc, cfg)
-        lm = _lm_solve(st.pose, src, tgt, assoc, cfg, guess,
-                       soft_scale, soft_sqrt_info)
+        if reg.use_fused_lm and not reg.soft_constraint:
+            from cfear_radarodometry_code_public_tpu.ops import pallas_lm
+            packed = pallas_lm.pack_associations(
+                src.mean, tgt, assoc.weight * assoc.valid, cfg)
+            lm_pose, lm_cost, lm_steps, lm_rel = pallas_lm.lm_solve_fused(
+                packed, st.pose, cfg,
+                interpret=jax.default_backend() == "cpu")
+            lm = _LMState(pose=lm_pose, cost=lm_cost, g=None, H=None,
+                          radius=None, decrease_factor=None, itr=None,
+                          steps=lm_steps, last_rel_decrease=lm_rel,
+                          done=None)
+        else:
+            lm = _lm_solve(st.pose, src, tgt, assoc, cfg, guess,
+                           soft_scale, soft_sqrt_info)
         current_score = lm.cost
         rel_improvement = (st.prev_score - current_score) / st.prev_score
         # convergence rules (`n_scan_normal.cpp:134-149`), active after min_itr
@@ -424,7 +527,7 @@ def register(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, guess,
     # --- covariance: Censi-style scaled inverse GN Hessian ---------------
     # (`n_scan_normal.cpp:392-433`): cov = 30 * final_cost/(n_res - n_par) * H^-1
     assoc = associate(kf_cells, kf_poses, kf_valid, src, final.pose,
-                      reg.assoc_radius, cfg)
+                      reg.assoc_radius, cfg, buckets)
     tgt = _target_terms(kf_cells, kf_poses, assoc, cfg)
     cost_f, _, H = _cost_grad_hess(final.pose, src, tgt, assoc, cfg, guess,
                                    soft_scale, soft_sqrt_info)
@@ -500,6 +603,29 @@ def sample_covariance(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap,
     cov = 2.0 * jnp.linalg.inv(H + (1.0 - convex) * jnp.eye(3, dtype=dtype)) \
         * score_scale * odo.cov_sampling_covariance_scaler
     return cov, convex
+
+
+def cost_surface(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, pose,
+                 cfg: CFEARConfig, width: float = 5.0, res: float = 0.25):
+    """Sample the registration cost on an (x, y) grid around `pose`.
+
+    Equivalent of `GetSurface` (`n_scan_normal.cpp:29-65`), used to inspect
+    the objective landscape. Returns (surface (P, P), extent tuple) with
+    P = 2*ceil(width/res)+1 pixels.
+    """
+    import math as _math
+    p = 2 * int(_math.ceil(width / res)) + 1
+    offs = jnp.linspace(-width, width, p).astype(pose.dtype)
+    gx, gy = jnp.meshgrid(offs, offs, indexing="xy")
+    grid = jnp.stack([gx.ravel(), gy.ravel(),
+                      jnp.zeros_like(gx.ravel())], -1)
+
+    def at(off):
+        c, _ = get_cost(kf_cells, kf_poses, kf_valid, src, pose + off, cfg)
+        return c
+
+    surface = jax.vmap(at)(grid).reshape(p, p)
+    return surface, (-width, width, -width, width)
 
 
 def get_cost(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, src_pose,

@@ -191,3 +191,45 @@ def test_association_exact_nn():
     idx = np.where(valid)[0]
     assert ok[idx].all()
     np.testing.assert_array_equal(tar[idx], idx)
+
+
+def test_grid_association_matches_dense():
+    rng = np.random.default_rng(7)
+    cfg_g = _cfg("P2L")
+    cfg_d = cfg_g.replace(registration=dataclasses.replace(
+        cfg_g.registration, assoc_method="dense"))
+    xy, intens = _world_cloud(rng)
+    cells = _cells_from_world(xy, intens, np.zeros(3), cfg_g)
+    kf = _stack_keyframes([cells])
+    src = _cells_from_world(xy, intens, np.array([1.2, 0.7, 0.05]), cfg_g)
+    pose = jnp.asarray([1.2, 0.7, 0.05], jnp.float32)
+    for radius in (2.0, 4.0):
+        a_g = registration.associate(kf, jnp.zeros((1, 3)), jnp.ones(1, bool),
+                                     src, pose, radius, cfg_g)
+        a_d = registration.associate(kf, jnp.zeros((1, 3)), jnp.ones(1, bool),
+                                     src, pose, radius, cfg_d)
+        np.testing.assert_array_equal(np.asarray(a_g.valid),
+                                      np.asarray(a_d.valid))
+        vg = np.asarray(a_g.valid[0])
+        np.testing.assert_array_equal(np.asarray(a_g.tar_idx[0])[vg],
+                                      np.asarray(a_d.tar_idx[0])[vg])
+        np.testing.assert_allclose(np.asarray(a_g.weight), np.asarray(a_d.weight),
+                                   atol=1e-6)
+
+
+def test_grid_register_matches_dense():
+    rng = np.random.default_rng(8)
+    cfg_g = _cfg("P2P")
+    cfg_d = cfg_g.replace(registration=dataclasses.replace(
+        cfg_g.registration, assoc_method="dense"))
+    xy, intens = _world_cloud(rng)
+    cells = _cells_from_world(xy, intens, np.zeros(3), cfg_g)
+    kf = _stack_keyframes([cells])
+    src = _cells_from_world(xy, intens, np.array([2.0, -0.5, 0.03]), cfg_g)
+    guess = jnp.asarray([2.2, -0.3, 0.02], jnp.float32)
+    rg = registration.register(kf, jnp.zeros((1, 3)), jnp.ones(1, bool), src,
+                               guess, cfg=cfg_g)
+    rd = registration.register(kf, jnp.zeros((1, 3)), jnp.ones(1, bool), src,
+                               guess, cfg=cfg_d)
+    np.testing.assert_allclose(np.asarray(rg.pose), np.asarray(rd.pose),
+                               atol=1e-5)
