@@ -169,12 +169,28 @@ def render_polar(world, pose: np.ndarray, cfg, rng: np.random.Generator,
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def make_loop_trajectory(n_frames: int, dt: float = 0.25,
+                         speed: float = 5.0) -> np.ndarray:
+    """Closed circular loop: ends back at the start pose (for loop-closure
+    tests). (T, 3) [x, y, yaw]."""
+    c = n_frames * speed * dt
+    radius = c / (2 * np.pi)
+    th = np.linspace(0, 2 * np.pi, n_frames, endpoint=False)
+    poses = np.stack([radius * np.sin(th), radius * (1 - np.cos(th)), th], -1)
+    return poses
+
+
 def make_sequence(seed: int, n_frames: int, cfg, speed: float = 5.0,
-                  noise_scale: float = 12.0):
+                  noise_scale: float = 12.0, trajectory: str = "random"):
     """Full synthetic sequence: (images (T, A, R) uint8, gt_poses (T, 3))."""
     rng = np.random.default_rng(seed)
     world = make_world(rng)
-    gt = make_trajectory(rng, n_frames, dt=cfg.radar.sensor_period, speed=speed)
+    if trajectory == "loop":
+        gt = make_loop_trajectory(n_frames, dt=cfg.radar.sensor_period,
+                                  speed=speed)
+    else:
+        gt = make_trajectory(rng, n_frames, dt=cfg.radar.sensor_period,
+                             speed=speed)
     images = np.zeros((n_frames, cfg.radar.n_azimuths, cfg.radar.n_bins),
                       np.uint8)
     for i in range(n_frames):

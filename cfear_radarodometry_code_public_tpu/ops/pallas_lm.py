@@ -190,10 +190,11 @@ def _lm_kernel(data_ref, init_ref, out_ref, *, cfg: CFEARConfig):
         r_ok = radius / jnp.maximum(jnp.maximum(shrink, 1.0 / 3.0), 1e-3)
         r_bad = radius / dec
         func_conv = jnp.abs(cost - new_cost) <= reg.function_tolerance * cost
+        pred_conv = model_red <= reg.function_tolerance * cost
         stepn = jnp.sqrt(sx_ * sx_ + sy_ * sy_ + st_ * st_)
         posen = jnp.sqrt(px * px + py * py + pt * pt)
         step_small = stepn <= 1e-8 * (posen + 1e-8)
-        new_done = (accept & func_conv) | step_small | (r_bad < 1e-32)
+        new_done = (accept & func_conv) | pred_conv | step_small | (r_bad < 1e-32)
         spx = jnp.where(accept, npx, px)
         spy = jnp.where(accept, npy, py)
         spt = jnp.where(accept, npt, pt)

@@ -385,8 +385,11 @@ def _lm_solve(pose0, src, tgt, assoc, cfg: CFEARConfig, guess,
         radius_ok = st.radius / jnp.maximum(jnp.maximum(shrink, 1.0 / 3.0), 1e-3)
         radius_bad = st.radius / st.decrease_factor
         func_conv = jnp.abs(st.cost - new_cost) <= reg.function_tolerance * st.cost
+        # if even the quadratic model predicts < tolerance improvement, the
+        # solve has converged regardless of step acceptance
+        pred_conv = model_red <= reg.function_tolerance * st.cost
         step_small = jnp.linalg.norm(delta) <= 1e-8 * (jnp.linalg.norm(st.pose) + 1e-8)
-        done = (accept & func_conv) | step_small | (radius_bad < 1e-32)
+        done = (accept & func_conv) | pred_conv | step_small | (radius_bad < 1e-32)
         sel_pose = jnp.where(accept, new_pose, st.pose)
         # only recompute grad/Hessian when the step was accepted (lax.cond
         # executes a single branch when not vmapped)

@@ -1,0 +1,68 @@
+import dataclasses
+
+import numpy as np
+
+from cfear_radarodometry_code_public_tpu.config import preset
+from cfear_radarodometry_code_public_tpu.datasets import synthetic
+from cfear_radarodometry_code_public_tpu.models import loopclosure, odometry
+
+
+def _cfg():
+    cfg = preset("CFEAR-3", dataset="synthetic")
+    return cfg.replace(
+        feature=dataclasses.replace(cfg.feature, max_cells=256),
+        filter=dataclasses.replace(cfg.filter, k_strongest=8))
+
+
+def test_loop_closure_on_circular_trajectory():
+    cfg = _cfg()
+    n = 56
+    images, gt = synthetic.make_sequence(seed=51, n_frames=n, cfg=cfg,
+                                         speed=5.0, trajectory="loop")
+    runner = odometry.OdometryRunner(cfg, chunk=8)
+    runner.process(images)
+    traj = runner.trajectory()
+    out = runner.frame_outputs()
+
+    lc = loopclosure.LoopCloserConfig(min_keyframe_separation=8,
+                                      max_ring_distance=0.4,
+                                      verify_score_max=0.2, min_assoc=30)
+    opt_poses, gb, accepted = loopclosure.close_and_optimize(
+        images, out, traj, cfg, lc=lc, iters=15)
+
+    assert len(accepted) >= 1, "no loop closures found on a closed loop"
+    # loop edges must connect temporally distant keyframes
+    for i, j in accepted:
+        assert i - j >= 8
+
+    # the loop returns to the start: optimized end-node position must be at
+    # least as close to its GT as the raw odometry end node
+    kf_frames = np.where(np.asarray(out.fused))[0]
+    gt_end = gt[kf_frames[-1], :2]
+    raw_err = np.linalg.norm(traj[kf_frames[-1], :2] - gt_end)
+    opt_err = np.linalg.norm(opt_poses[-1, :2] - gt_end)
+    assert opt_err <= raw_err + 1e-6, (opt_err, raw_err)
+
+
+def test_descriptors_rotation_invariant_ring_key():
+    import jax
+    import jax.numpy as jnp
+    from cfear_radarodometry_code_public_tpu.models.loopclosure import (
+        LoopCloserConfig, _descriptors)
+    from cfear_radarodometry_code_public_tpu.ops import features, filtering
+    from cfear_radarodometry_code_public_tpu.utils import se2
+
+    cfg = _cfg()
+    rng = np.random.default_rng(0)
+    world = synthetic.make_world(rng)
+    img = synthetic.render_polar(world, np.zeros(3), cfg, rng)
+    cells = features.compute_cells(
+        filtering.filter_polar_image(jnp.asarray(img), cfg), cfg)
+    lc = LoopCloserConfig()
+    rk0, _ = _descriptors(cells, cfg, lc)
+    # rotate the scan in place: ring key (range histogram) must be ~unchanged
+    rot = features.transform_cells(cells, jnp.asarray([0.0, 0.0, 1.1]))
+    rk1, _ = _descriptors(rot, cfg, lc)
+    a, b = np.asarray(rk0), np.asarray(rk1)
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.999
