@@ -21,6 +21,14 @@ See SURVEY.md at the repository root for the full component map.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Geometry at 100+ m extents cannot survive bf16 matmul passes (TPU's default
+# f32 matmul mode): distance computations and pose transforms would carry
+# decimeter-level error. Force true-f32 matmuls everywhere; the hot matmuls
+# here are tiny, so the cost is negligible.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from cfear_radarodometry_code_public_tpu.config import (  # noqa: F401
     CFEARConfig,
     FeatureConfig,

@@ -19,6 +19,53 @@ import numpy as np
 from cfear_radarodometry_code_public_tpu.utils import se2
 
 
+# Oxford Radar RobotCar sequence-name -> KITTI index (dataset metadata,
+# matching `DatasetToSequence`, `eval_trajectory.cpp:74-143`)
+_OXFORD_SEQUENCES = [
+    "2019-01-10-11-46-21-radar-oxford-10k",
+    "2019-01-10-12-32-52-radar-oxford-10k",
+    "2019-01-10-14-02-34-radar-oxford-10k",
+    "2019-01-10-14-36-48-radar-oxford-10k-partial",
+    "2019-01-10-14-50-05-radar-oxford-10k",
+    "2019-01-10-15-19-41-radar-oxford-10k",
+    "2019-01-11-12-26-55-radar-oxford-10k",
+    "2019-01-11-13-24-51-radar-oxford-10k",
+    "2019-01-11-14-02-26-radar-oxford-10k",
+    "2019-01-11-14-37-14-radar-oxford-10k",
+    "2019-01-14-12-05-52-radar-oxford-10k",
+    "2019-01-14-12-41-28-radar-oxford-10k",
+    "2019-01-14-13-38-21-radar-oxford-10k",
+    "2019-01-14-14-15-12-radar-oxford-10k",
+    "2019-01-14-14-48-55-radar-oxford-10k",
+    "2019-01-15-12-01-32-radar-oxford-10k",
+    "2019-01-15-12-52-32-radar-oxford-10k-partial",
+    "2019-01-15-13-06-37-radar-oxford-10k",
+    "2019-01-15-13-53-14-radar-oxford-10k",
+    "2019-01-15-14-24-38-radar-oxford-10k",
+    "2019-01-16-11-53-11-radar-oxford-10k",
+    "2019-01-16-13-09-37-radar-oxford-10k",
+    "2019-01-16-13-42-28-radar-oxford-10k",
+    "2019-01-16-14-15-33-radar-oxford-10k",
+    "2019-01-17-11-46-31-radar-oxford-10k",
+    "2019-01-17-12-48-25-radar-oxford-10k",
+    "2019-01-17-13-26-39-radar-oxford-10k",
+    "2019-01-17-14-03-00-radar-oxford-10k",
+    "2019-01-18-12-42-34-radar-oxford-10k",
+    "2019-01-18-14-14-42-radar-oxford-10k",
+    "2019-01-18-14-46-59-radar-oxford-10k",
+    "2019-01-18-15-20-12-radar-oxford-10k",
+]
+
+
+def dataset_to_sequence(name: str) -> str:
+    """Oxford sequence directory name -> KITTI-style file name ('01.txt'
+    default, like the reference)."""
+    try:
+        return f"{_OXFORD_SEQUENCES.index(name):02d}.txt"
+    except ValueError:
+        return "01.txt"
+
+
 def poses_to_matrices(poses_xyt: np.ndarray) -> np.ndarray:
     """(T, 3) [x, y, yaw] -> (T, 4, 4) homogeneous."""
     return se2.to_matrix(poses_xyt)

@@ -150,6 +150,24 @@ def polar_to_points(bins, valid, intens, peaks, cfg: CFEARConfig) -> PointCloud:
     )
 
 
+def intensity_filter(pc: PointCloud, threshold: float = 50.0,
+                     min_range: float = 0.0, max_range: float = 150.0
+                     ) -> PointCloud:
+    """Mask points by intensity threshold and range window
+    (`IntensityFilter`, `utils.cpp:3-19`)."""
+    d2 = jnp.sum(pc.xy ** 2, -1)
+    keep = (pc.valid & (pc.intensity >= threshold)
+            & (d2 > min_range * min_range) & (d2 < max_range * max_range))
+    return pc._replace(valid=keep, peak=pc.peak & keep)
+
+
+def add_noise(pc: PointCloud, key, sigma: float = 0.1) -> PointCloud:
+    """Perturb point positions with Gaussian noise (`AddNoise`,
+    `utils.cpp:71-74` adds z-noise; in 2-D we jitter xy) — test utility."""
+    noise = sigma * jax.random.normal(key, pc.xy.shape, pc.xy.dtype)
+    return pc._replace(xy=pc.xy + jnp.where(pc.valid[:, None], noise, 0.0))
+
+
 def filter_polar_image(image: jax.Array, cfg: CFEARConfig) -> PointCloud:
     """Full filter stage: polar uint8 image (A, R) -> masked point cloud.
 

@@ -72,18 +72,13 @@ def pack_associations(src_mean, tgt, assoc_weight, cfg: CFEARConfig):
     return jnp.stack([sx, sy, mx, my, w, r5, r6, r7])
 
 
-def _lm_kernel(data_ref, init_ref, out_ref, *, cfg: CFEARConfig):
+def _lm_core(rows, px0, py0, pt0, cfg: CFEARConfig):
+    """The trust-region LM loop over packed rows — pure jnp, shared by the
+    Pallas kernel (rows = VMEM vectors) and the XLA fallback (rows = arrays).
+    Returns (px, py, pt, cost, steps_f32, last_rel)."""
     reg = cfg.registration
     cost_metric = reg.cost
-
-    sx = data_ref[0, :]
-    sy = data_ref[1, :]
-    mx = data_ref[2, :]
-    my = data_ref[3, :]
-    w = data_ref[4, :]
-    r5 = data_ref[5, :]
-    r6 = data_ref[6, :]
-    r7 = data_ref[7, :]
+    sx, sy, mx, my, w, r5, r6, r7 = rows
 
     def cgh(px, py, pt):
         """cost, g(3,), H(6 upper entries) at pose (px, py, pt)."""
@@ -164,9 +159,6 @@ def _lm_kernel(data_ref, init_ref, out_ref, *, cfg: CFEARConfig):
         dt = (c02 * g[0] + c12 * g[1] + c22 * g[2]) * inv_det
         return dx, dy, dt
 
-    px0 = init_ref[0, 0]
-    py0 = init_ref[0, 1]
-    pt0 = init_ref[0, 2]
     cost0, g0, h0 = cgh(px0, py0, pt0)
 
     def body(carry):
@@ -216,15 +208,31 @@ def _lm_kernel(data_ref, init_ref, out_ref, *, cfg: CFEARConfig):
             jnp.int32(0), jnp.int32(0), jnp.float32(jnp.inf), False)
     (px, py, pt, cost, g, h, radius, dec, itr, steps, lastrel, done) = \
         jax.lax.while_loop(cond, body, init)
+    return px, py, pt, cost, steps.astype(jnp.float32), lastrel
 
+
+def _lm_kernel(data_ref, init_ref, out_ref, *, cfg: CFEARConfig):
+    rows = tuple(data_ref[i, :] for i in range(8))
+    px, py, pt, cost, steps_f, lastrel = _lm_core(
+        rows, init_ref[0, 0], init_ref[0, 1], init_ref[0, 2], cfg)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     out = jnp.where(lane == 0, px,
           jnp.where(lane == 1, py,
           jnp.where(lane == 2, pt,
           jnp.where(lane == 3, cost,
-          jnp.where(lane == 4, steps.astype(jnp.float32),
+          jnp.where(lane == 4, steps_f,
           jnp.where(lane == 5, lastrel, 0.0))))))
     out_ref[:, :] = out
+
+
+def lm_solve_packed_xla(packed, pose0, cfg: CFEARConfig):
+    """XLA (non-Pallas) execution of the same packed LM loop — far fewer
+    kernel launches per iteration than the einsum formulation."""
+    rows = tuple(packed[i] for i in range(8))
+    p = pose0.astype(jnp.float32)
+    px, py, pt, cost, steps_f, lastrel = _lm_core(rows, p[0], p[1], p[2], cfg)
+    pose = jnp.stack([px, py, pt]).astype(pose0.dtype)
+    return pose, cost, steps_f.astype(jnp.int32), lastrel
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))

@@ -474,13 +474,17 @@ def register(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, guess,
         n_res = n_assoc * res_dim + (3 if reg.soft_constraint else 0)
         failed = n_res <= 1                     # (`n_scan_normal.cpp:370`)
         tgt = _target_terms(kf_cells, kf_poses, assoc, cfg)
-        if reg.use_fused_lm and not reg.soft_constraint:
+        if not reg.soft_constraint:
             from cfear_radarodometry_code_public_tpu.ops import pallas_lm
             packed = pallas_lm.pack_associations(
                 src.mean, tgt, assoc.weight * assoc.valid, cfg)
-            lm_pose, lm_cost, lm_steps, lm_rel = pallas_lm.lm_solve_fused(
-                packed, st.pose, cfg,
-                interpret=jax.default_backend() == "cpu")
+            if reg.use_fused_lm:
+                lm_pose, lm_cost, lm_steps, lm_rel = pallas_lm.lm_solve_fused(
+                    packed, st.pose, cfg,
+                    interpret=jax.default_backend() == "cpu")
+            else:
+                lm_pose, lm_cost, lm_steps, lm_rel = \
+                    pallas_lm.lm_solve_packed_xla(packed, st.pose, cfg)
             lm = _LMState(pose=lm_pose, cost=lm_cost, g=None, H=None,
                           radius=None, decrease_factor=None, itr=None,
                           steps=lm_steps, last_rel_decrease=lm_rel,
@@ -543,6 +547,126 @@ def register(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, guess,
         pose=final.pose, cov=cov, success=~final.failed, score=score,
         final_cost=final.final_cost, num_assoc=final.num_assoc,
         iterations=final.itr)
+
+
+def is_consistent(pose, guess, max_distance: float = 1.0,
+                  max_angle_deg: float = 5.0):
+    """Consistency gate of a registration result against its initial guess.
+
+    Equivalent of the service node's `IsConsistent`
+    (`registration_srv_node.cpp:131-142`): reject when the discrepancy
+    T_guess^{-1} T_pose exceeds the translation / rotation limits.
+    """
+    d = se2.relative(guess, pose)
+    dist = jnp.linalg.norm(d[:2])
+    ang = jnp.abs(jnp.degrees(se2.normalize_angle(d[2])))
+    return (dist <= max_distance) & (ang <= max_angle_deg)
+
+
+def register_scans_service(scans: CellMap, poses, cfg: CFEARConfig,
+                           consistency_max_distance: float = 1.0,
+                           consistency_max_angle_deg: float = 5.0):
+    """"Registration as a service": register the newest of N scans against
+    the rest and gate the result on consistency with the initial guess
+    (the disabled `registration_srv_node` capability,
+    `registration_srv_node.cpp:242-313`). Returns (result, consistent)."""
+    s = poses.shape[0]
+    kf = jax.tree.map(lambda a: a[:-1], scans)
+    src = jax.tree.map(lambda a: a[-1], scans)
+    res = register(kf, poses[:-1], jnp.ones((s - 1,), bool), src, poses[-1],
+                   cfg=cfg)
+    ok = res.success & is_consistent(res.pose, poses[-1],
+                                     consistency_max_distance,
+                                     consistency_max_angle_deg)
+    return res, ok
+
+
+def refine_many_to_many(cells: CellMap, poses, valid, cfg: CFEARConfig,
+                        fixed_mask=None, outer_iters: int = 4,
+                        gn_iters: int = 8, cg_iters: int = 24):
+    """Joint refinement of ALL scan poses ("many_to_many_refinement",
+    `registration.h:48`, pair enumeration `n_scan_normal.cpp:359-367`).
+
+    Every ordered scan pair (target i, source j) contributes associations;
+    residuals depend on BOTH poses (the non-"efficient" cost functors,
+    `n_scan_normal.h:134-176`). The normal equations over the 3*S pose block
+    are solved matrix-free (vjp/jvp + CG) with the first pose gauge-fixed
+    (or `fixed_mask`). Returns refined (S, 3) poses.
+    """
+    reg = cfg.registration
+    s = poses.shape[0]
+    if fixed_mask is None:
+        fixed_mask = jnp.zeros((s,), bool).at[0].set(True)
+    free = ~fixed_mask
+
+    def proj(x):
+        return jnp.where(free[:, None], x, 0.0)
+
+    cur = poses
+
+    for _ in range(outer_iters):
+        # association for every ordered pair (i = target, j = source)
+        def pair_assoc(i, j):
+            kf = jax.tree.map(lambda a: a[i][None], cells)
+            src_j = jax.tree.map(lambda a: a[j], cells)
+            a = associate(kf, cur[i][None], valid[i][None], src_j, cur[j],
+                          reg.assoc_radius, cfg)
+            ok = a.valid[0] & valid[i] & valid[j] & (i != j)
+            return a.tar_idx[0], jnp.where(ok, a.weight[0], 0.0), ok
+
+        ii, jj = jnp.meshgrid(jnp.arange(s), jnp.arange(s), indexing="ij")
+        pairs = jnp.stack([ii.ravel(), jj.ravel()], -1)       # (S*S, 2)
+        tar_idx, w_a, ok_a = jax.vmap(lambda p: pair_assoc(p[0], p[1]))(pairs)
+
+        def residuals(p):
+            def one_pair(pi, tar_i, w_i):
+                i, j = pi[0], pi[1]
+                t_i, t_j = p[i], p[j]
+                src_w = se2.transform(t_j, cells.mean[j])      # (M, 2)
+                tar_w = se2.transform(t_i, cells.mean[i][tar_i])
+                d = src_w - tar_w
+                if reg.cost == "P2L":
+                    n_w = se2.rotate(t_i, cells.normal[i][tar_i])
+                    e = jnp.sum(d * n_w, -1, keepdims=True)
+                else:
+                    e = d
+                ssq = jnp.sum(e * e, -1)
+                _, drho = losses.rho(ssq, reg.loss, reg.loss_limit)
+                # IRLS: the robust weight is constant within a GN step
+                # (sqrt has an infinite derivative at 0 otherwise)
+                wr = jax.lax.stop_gradient(jnp.sqrt(w_i * drho))
+                return e * wr[:, None]
+
+            return jax.vmap(one_pair)(pairs, tar_idx, w_a)
+
+        for _ in range(gn_iters):
+            r, vjp = jax.vjp(residuals, cur)
+            (grad,) = vjp(r)
+            grad = proj(grad)
+
+            def hvp(x):
+                x = proj(x)
+                _, jv = jax.jvp(residuals, (cur,), (x,))
+                (h,) = vjp(jv)
+                return proj(h) + 1e-6 * x
+
+            # CG on the 3S-dim system
+            b = -grad
+            x = jnp.zeros_like(b)
+            rr = b
+            pp = b
+            rs = jnp.sum(rr * rr)
+            for _ in range(cg_iters):
+                Ap = hvp(pp)
+                denom = jnp.sum(pp * Ap)
+                alpha = rs / jnp.where(denom > 0, denom, 1.0)
+                x = x + alpha * pp
+                rr = rr - alpha * Ap
+                rs_new = jnp.sum(rr * rr)
+                pp = rr + (rs_new / jnp.where(rs > 0, rs, 1.0)) * pp
+                rs = rs_new
+            cur = cur + proj(x)
+    return cur
 
 
 def register_time_continuous(kf_cells: CellMap, kf_poses, kf_valid,

@@ -110,3 +110,17 @@ def test_min_range_gate():
     pc = filtering.filter_polar_image(jnp.asarray(img), cfg)
     valid = np.asarray(pc.valid)
     assert valid.sum() == 1
+
+
+def test_intensity_filter_util():
+    cfg = _cfg()
+    img = np.zeros((64, 256), np.uint8)
+    img[0, 100] = 200   # range 50.25 m (res 0.5)
+    img[1, 40] = 70     # range 20.25 m, weak
+    pc = filtering.filter_polar_image(jnp.asarray(img), cfg)
+    out = filtering.intensity_filter(pc, threshold=100.0, min_range=0.0,
+                                     max_range=60.0)
+    assert int(np.asarray(out.valid).sum()) == 1
+    out2 = filtering.intensity_filter(pc, threshold=60.0, min_range=0.0,
+                                      max_range=30.0)
+    assert int(np.asarray(out2.valid).sum()) == 1

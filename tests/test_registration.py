@@ -233,3 +233,40 @@ def test_grid_register_matches_dense():
                                guess, cfg=cfg_d)
     np.testing.assert_allclose(np.asarray(rg.pose), np.asarray(rd.pose),
                                atol=1e-5)
+
+
+def test_many_to_many_refinement():
+    rng = np.random.default_rng(11)
+    cfg = _cfg("P2L")
+    xy, intens = _world_cloud(rng)
+    true_poses = np.array([[0.0, 0.0, 0.0],
+                           [2.0, 0.5, 0.05],
+                           [4.0, 1.0, 0.10]])
+    cells = _stack_keyframes(
+        [_cells_from_world(xy, intens, p, cfg) for p in true_poses])
+    noisy = true_poses + np.array([[0, 0, 0],
+                                   [0.3, -0.2, 0.02],
+                                   [-0.25, 0.3, -0.03]])
+    refined = registration.refine_many_to_many(
+        cells, jnp.asarray(noisy, jnp.float32), jnp.ones(3, bool), cfg)
+    refined = np.asarray(refined)
+    np.testing.assert_allclose(refined[0], true_poses[0], atol=1e-6)  # fixed
+    np.testing.assert_allclose(refined[1:], true_poses[1:], atol=0.05)
+    # must beat the initialization
+    assert (np.linalg.norm(refined[1:, :2] - true_poses[1:, :2], axis=1)
+            < np.linalg.norm(noisy[1:, :2] - true_poses[1:, :2], axis=1)).all()
+
+
+def test_consistency_gate_and_service():
+    cfg = _cfg("P2L")
+    rng = np.random.default_rng(12)
+    xy, intens = _world_cloud(rng)
+    poses = np.array([[0.0, 0.0, 0.0], [2.0, 0.0, 0.0]])
+    scans = _stack_keyframes(
+        [_cells_from_world(xy, intens, p, cfg) for p in poses])
+    res, ok = registration.register_scans_service(
+        scans, jnp.asarray(poses, jnp.float32), cfg)
+    assert bool(ok)
+    # consistency rejects a wildly different result
+    assert not bool(registration.is_consistent(
+        jnp.asarray([5.0, 0.0, 0.0]), jnp.asarray([0.0, 0.0, 0.0])))
