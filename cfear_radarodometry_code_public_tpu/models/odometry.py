@@ -106,38 +106,54 @@ def _push_keyframe(state: OdometryState, cells: CellMap, pose):
     return new_cells, poses, valid
 
 
+def _extract_cells(state: OdometryState, image, cfg: CFEARConfig):
+    """Shared front half of the per-frame pipeline: filter + compensate +
+    oriented surface points."""
+    pts = filtering.filter_polar_image(image, cfg)
+    if cfg.odometry.compensate:
+        xy = se2.compensate_points(pts.xy, state.tmot, cfg.radar.ccw)
+        pts = pts._replace(xy=xy)
+    if cfg.feature.use_raw_pointcloud:
+        return features.compute_raw_cells(pts, cfg)
+    return features.compute_cells(pts, cfg)
+
+
+def make_bootstrap(cfg: CFEARConfig):
+    """First-frame initialization (`odometrykeyframefuser.cpp:171-177`),
+    kept OUTSIDE the scanned step so the hot path carries no bootstrap
+    branch (a vmapped lax.cond would execute both sides every frame)."""
+
+    def bootstrap(state: OdometryState, image):
+        cells = _extract_cells(state, image, cfg)
+        ident = jnp.zeros((3,), state.t_prev.dtype)
+        kfc, kfp, kfv = _push_keyframe(state, cells, ident)
+        new_state = state._replace(
+            kf_cells=kfc, kf_poses=kfp, kf_valid=kfv,
+            t_prev=ident, initialized=jnp.asarray(True),
+            frame_nr=state.frame_nr + 1, kf_count=jnp.asarray(1, jnp.int32))
+        out = FrameOutput(
+            pose=ident, shift=ident, fused=jnp.asarray(True),
+            cov=jnp.eye(3, dtype=ident.dtype), success=jnp.asarray(True),
+            score=jnp.asarray(0.0, ident.dtype),
+            num_assoc=jnp.asarray(0, jnp.int32), num_cells=cells.n,
+            reg_iterations=jnp.asarray(0, jnp.int32))
+        return new_state, out
+
+    return bootstrap
+
+
 def make_step(cfg: CFEARConfig):
-    """Build the jittable per-frame step function for a config."""
+    """Build the jittable per-frame step function for a config.
+
+    The state MUST be initialized (make_bootstrap) before stepping."""
     odo = cfg.odometry
     rot_gate = math.radians(odo.keyframe_min_rot_deg)
     dt = cfg.radar.sensor_period
 
     def step(state: OdometryState, image) -> tuple[OdometryState, FrameOutput]:
-        pts = filtering.filter_polar_image(image, cfg)
-        if odo.compensate:
-            xy = se2.compensate_points(pts.xy, state.tmot, cfg.radar.ccw)
-            pts = pts._replace(xy=xy)
-        if cfg.feature.use_raw_pointcloud:
-            cells = features.compute_raw_cells(pts, cfg)
-        else:
-            cells = features.compute_cells(pts, cfg)
+        cells = _extract_cells(state, image, cfg)
         guess = se2.compose(state.t_prev, state.tmot) if odo.use_guess \
             else state.t_prev
-
-        def bootstrap(_):
-            ident = jnp.zeros((3,), guess.dtype)
-            kfc, kfp, kfv = _push_keyframe(state, cells, ident)
-            new_state = state._replace(
-                kf_cells=kfc, kf_poses=kfp, kf_valid=kfv,
-                t_prev=ident, initialized=jnp.asarray(True),
-                frame_nr=state.frame_nr + 1, kf_count=jnp.asarray(1, jnp.int32))
-            out = FrameOutput(
-                pose=ident, shift=ident, fused=jnp.asarray(True),
-                cov=jnp.eye(3, dtype=guess.dtype), success=jnp.asarray(True),
-                score=jnp.asarray(0.0, guess.dtype),
-                num_assoc=jnp.asarray(0, jnp.int32), num_cells=cells.n,
-                reg_iterations=jnp.asarray(0, jnp.int32))
-            return new_state, out
 
         def normal(_):
             res = registration.register(
@@ -187,7 +203,7 @@ def make_step(cfg: CFEARConfig):
                 reg_iterations=res.iterations)
             return new_state, out
 
-        return jax.lax.cond(state.initialized, normal, bootstrap, None)
+        return normal(None)
 
     return step
 
@@ -238,11 +254,18 @@ class OdometryRunner:
         self.chunk = chunk
         self.run_chunk = make_chunk_runner(cfg)
         self.step = jax.jit(make_step(cfg))
+        self.bootstrap = jax.jit(make_bootstrap(cfg))
         self.state = init_state(cfg, dtype)
         self.outputs: list = []
 
     def process(self, images: np.ndarray) -> None:
         """Process (T, A, R) uint8 frames (T need not be chunk-aligned)."""
+        if images.shape[0] and not bool(self.state.initialized):
+            self.state, out0 = self.bootstrap(self.state,
+                                              jnp.asarray(images[0]))
+            self.outputs.append(jax.tree.map(
+                lambda a: np.asarray(a)[None], out0))
+            images = images[1:]
         t = images.shape[0]
         n_full = (t // self.chunk) * self.chunk
         for i in range(0, n_full, self.chunk):

@@ -37,7 +37,7 @@ def make_batched_runner(cfg: CFEARConfig, mesh: Mesh, axis: str = "data"):
     each call scans a chunk of frames for every sequence in the batch.
     """
     step = odometry.make_step(cfg)
-    batch_sharding = NamedSharding(mesh, P(axis))
+    bootstrap = odometry.make_bootstrap(cfg)
 
     def shard_batch(tree):
         return jax.tree.map(
@@ -50,6 +50,11 @@ def make_batched_runner(cfg: CFEARConfig, mesh: Mesh, axis: str = "data"):
         return shard_batch(states)
 
     @jax.jit
+    def bootstrap_batch(states, first_images):
+        """(B, ...) states + (B, A, R) first frames -> initialized states."""
+        return jax.vmap(bootstrap)(states, first_images)
+
+    @jax.jit
     def step_chunk(states, images):
         """states: (B, ...) sharded; images: (B, T, A, R) -> outputs (B, T, ...)."""
 
@@ -58,7 +63,7 @@ def make_batched_runner(cfg: CFEARConfig, mesh: Mesh, axis: str = "data"):
 
         return jax.vmap(scan_one)(states, images)
 
-    return init_fn, step_chunk, shard_batch
+    return init_fn, step_chunk, shard_batch, bootstrap_batch
 
 
 class MultiSequenceRunner:
@@ -69,14 +74,20 @@ class MultiSequenceRunner:
         self.cfg = cfg
         self.chunk = chunk
         self.mesh = mesh or make_mesh()
-        self.init_fn, self.step_chunk, self.shard_batch = make_batched_runner(
-            cfg, self.mesh)
+        (self.init_fn, self.step_chunk, self.shard_batch,
+         self.bootstrap_batch) = make_batched_runner(cfg, self.mesh)
         self.states = self.init_fn(batch)
         self.outputs: list = []
 
     def process(self, images: np.ndarray) -> None:
-        """images: (B, T, A, R) uint8; T must be chunk-divisible or is truncated
-        to full chunks plus a ragged scan."""
+        """images: (B, T, A, R) uint8."""
+        if images.shape[1] and not bool(np.asarray(
+                self.states.initialized).any()):
+            first = self.shard_batch(jnp.asarray(images[:, 0]))
+            self.states, out0 = self.bootstrap_batch(self.states, first)
+            self.outputs.append(jax.tree.map(
+                lambda a: np.asarray(a)[:, None], out0))
+            images = images[:, 1:]
         b, t = images.shape[:2]
         for i in range(0, t - t % self.chunk, self.chunk):
             blk = self.shard_batch(jnp.asarray(images[:, i:i + self.chunk]))

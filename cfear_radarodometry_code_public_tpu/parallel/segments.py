@@ -109,11 +109,15 @@ def run_segmented(images: np.ndarray, cfg: CFEARConfig, n_segments: int,
         blocks[i, :e - s] = images[s:e]
 
     step = odometry.make_step(cfg)
+    bootstrap = odometry.make_bootstrap(cfg)
 
     @jax.jit
     def run(states, imgs):
-        return jax.vmap(lambda st, im: jax.lax.scan(step, st, im))(states,
-                                                                   imgs)
+        states, out0 = jax.vmap(bootstrap)(states, imgs[:, 0])
+        states, out = jax.vmap(
+            lambda st, im: jax.lax.scan(step, st, im))(states, imgs[:, 1:])
+        return states, jax.tree.map(
+            lambda a, b: jnp.concatenate([a[:, None], b], axis=1), out0, out)
 
     states = jax.vmap(lambda _: odometry.init_state(cfg))(jnp.arange(batch))
     if mesh is not None:

@@ -58,7 +58,7 @@ def test_sharded_state_layout():
     from jax.sharding import NamedSharding
     cfg = _cfg()
     m = pmesh.make_mesh(8)
-    init_fn, _, _ = pmesh.make_batched_runner(cfg, m)
+    init_fn, _, _, _ = pmesh.make_batched_runner(cfg, m)
     states = init_fn(8)
     sh = states.kf_poses.sharding
     assert isinstance(sh, NamedSharding)
