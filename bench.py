@@ -54,8 +54,10 @@ def main():
             feature=dataclasses.replace(cfg.feature, max_cells=256),
             filter=dataclasses.replace(cfg.filter, k_strongest=8))
     else:
-        # Oxford-scale flagship config (CFEAR-3)
+        # Oxford-scale flagship config (CFEAR-3); straight-line solver loops
         cfg = preset("CFEAR-3", dataset="oxford")
+        cfg = cfg.replace(registration=dataclasses.replace(
+            cfg.registration, unroll_solver=True))
 
     dev = jax.devices()[0]
     print(f"device: {dev}, config: {cfg.name} "
@@ -103,7 +105,10 @@ def main():
             return jax.vmap(lambda s, im: jax.lax.scan(step, s, im))(states,
                                                                      imgs)
 
+        bootstrap = odometry.make_bootstrap(cfg)
         states0 = jax.vmap(lambda _: odometry.init_state(cfg))(jnp.arange(b))
+        states0, _ = jax.jit(jax.vmap(bootstrap))(
+            states0, jnp.asarray(np.stack([images[0]] * b)))
         blk_np = np.stack([images[:args.chunk]] * b)
         t0 = time.time()
         states, outb = run_chunk_b(states0, jnp.asarray(blk_np))

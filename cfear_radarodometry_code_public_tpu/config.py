@@ -99,6 +99,11 @@ class RegistrationConfig:
     # standalone, but the axon remote-compile service takes pathologically
     # long on programs embedding the kernel inside scan/while; off by default
     use_fused_lm: bool = False
+    # unroll the LM and outer association loops into straight-line masked
+    # code: identical results, no loop-sync overhead, no vmap lockstep on
+    # TPU — but always pays max iterations, so slower on CPU (default off;
+    # bench.py enables it for TPU runs)
+    unroll_solver: bool = False
 
 
 @dataclass(frozen=True)

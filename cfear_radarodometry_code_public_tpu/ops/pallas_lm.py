@@ -205,9 +205,22 @@ def _lm_core(rows, px0, py0, pt0, cfg: CFEARConfig):
 
     init = (px0, py0, pt0, cost0, g0, h0,
             jnp.float32(1e4), jnp.float32(2.0),
-            jnp.int32(0), jnp.int32(0), jnp.float32(jnp.inf), False)
-    (px, py, pt, cost, g, h, radius, dec, itr, steps, lastrel, done) = \
-        jax.lax.while_loop(cond, body, init)
+            jnp.int32(0), jnp.int32(0), jnp.float32(jnp.inf),
+            jnp.asarray(False))
+    if reg.unroll_solver:
+        # straight-line masked iterations: identical results to the while
+        # loop (converged state is frozen), but no per-iteration loop sync
+        # and no cross-lane lockstep under vmap
+        carry = init
+        for _ in range(reg.max_itr_solver):
+            new = body(carry)
+            done = carry[11]
+            carry = jax.tree.map(
+                lambda c, n: jnp.where(done, c, n), carry, new)
+        (px, py, pt, cost, g, h, radius, dec, itr, steps, lastrel, done) = carry
+    else:
+        (px, py, pt, cost, g, h, radius, dec, itr, steps, lastrel, done) = \
+            jax.lax.while_loop(cond, body, init)
     return px, py, pt, cost, steps.astype(jnp.float32), lastrel
 
 

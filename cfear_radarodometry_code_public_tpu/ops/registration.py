@@ -529,7 +529,16 @@ def register(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, guess,
                                   jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype),
                                   jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
 
-    final = jax.lax.while_loop(outer_cond, outer_body, init)
+    if reg.unroll_solver:
+        # straight-line masked outer iterations (same semantics as the
+        # while loop: state freezes once done)
+        final = init
+        for _ in range(reg.max_itr_association):
+            new = outer_body(final)
+            final = jax.tree.map(
+                lambda c, n, d=final.done: jnp.where(d, c, n), final, new)
+    else:
+        final = jax.lax.while_loop(outer_cond, outer_body, init)
 
     # --- covariance: Censi-style scaled inverse GN Hessian ---------------
     # (`n_scan_normal.cpp:392-433`): cov = 30 * final_cost/(n_res - n_par) * H^-1
