@@ -32,6 +32,8 @@ def main():
                     help="also report synthetic drift to stderr")
     ap.add_argument("--batch", type=int, default=0,
                     help="also measure B concurrent sequences per chip")
+    ap.add_argument("--fused-lm", action="store_true",
+                    help="use the fused Pallas LM kernel")
     args = ap.parse_args()
 
     if args.quick:
@@ -57,7 +59,8 @@ def main():
         # Oxford-scale flagship config (CFEAR-3); straight-line solver loops
         cfg = preset("CFEAR-3", dataset="oxford")
         cfg = cfg.replace(registration=dataclasses.replace(
-            cfg.registration, unroll_solver=True))
+            cfg.registration, unroll_solver=True,
+            use_fused_lm=args.fused_lm))
 
     dev = jax.devices()[0]
     print(f"device: {dev}, config: {cfg.name} "

@@ -80,7 +80,6 @@ def load_gt_csv(path: str, fmt: str = "auto") -> Tuple[np.ndarray, np.ndarray]:
         fmt = "oxford_ro" if "source_radar_timestamp" in ",".join(header) \
             or data.shape[1] >= 8 else "xyyaw"
     if fmt == "oxford_ro":
-        stamps = data[:, 0] * 1e-6
         dx, dy, dyaw = data[:, 2], data[:, 3], data[:, 7]
         poses = np.zeros((len(data) + 1, 3))
         for i in range(len(data)):
@@ -88,7 +87,9 @@ def load_gt_csv(path: str, fmt: str = "auto") -> Tuple[np.ndarray, np.ndarray]:
             poses[i + 1, 0] = poses[i, 0] + c * dx[i] - s * dy[i]
             poses[i + 1, 1] = poses[i, 1] + s * dx[i] + c * dy[i]
             poses[i + 1, 2] = poses[i, 2] + dyaw[i]
-        stamps = np.concatenate([[stamps[0] - 0.25], stamps])
+        # pose 0 is at the first row's source stamp; pose k at the
+        # destination stamp of row k-1
+        stamps = np.concatenate([[data[0, 0]], data[:, 1]]) * 1e-6
         return stamps, poses
     stamps = data[:, 0]
     poses = data[:, 1:4]

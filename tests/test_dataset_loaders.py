@@ -1,0 +1,76 @@
+"""Loader integration tests with fabricated on-disk datasets (no downloads)."""
+
+import os
+
+import numpy as np
+from PIL import Image
+
+from cfear_radarodometry_code_public_tpu.datasets import oxford
+
+
+def _write_png(path, arr):
+    Image.fromarray(arr).save(path)
+
+
+def test_oxford_frames_strip_metadata(tmp_path):
+    d = tmp_path / "radar"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    stamps_us = [1547120000000000 + i * 250000 for i in range(3)]
+    for t in stamps_us:
+        img = rng.integers(0, 255, (400, 11 + 3768), dtype=np.uint8)
+        _write_png(str(d / f"{t}.png"), img)
+    frames = list(oxford.oxford_frames(str(d)))
+    assert len(frames) == 3
+    stamp0, data0 = frames[0]
+    assert data0.shape == (400, 3768)
+    assert abs(stamp0 - stamps_us[0] * 1e-6) < 1e-6
+    # ordering by filename == timestamp order
+    assert frames[0][0] < frames[1][0] < frames[2][0]
+
+
+def test_mulran_frames_transpose(tmp_path):
+    d = tmp_path / "polar"
+    d.mkdir()
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (3360, 400), dtype=np.uint8)   # range-major
+    _write_png(str(d / "1561000000000000000.png"), img)
+    frames = list(oxford.mulran_frames(str(d)))
+    stamp, data = frames[0]
+    assert data.shape == (400, 3360)                          # azimuth-major
+    np.testing.assert_array_equal(data, img.T)
+    assert abs(stamp - 1561000000.0) < 1e-6
+
+
+def test_gt_csv_oxford_relative_format(tmp_path):
+    p = tmp_path / "radar_odometry.csv"
+    rows = ["source_radar_timestamp,destination_radar_timestamp,x,y,z,roll,pitch,yaw"]
+    t0 = 1547120000000000
+    for i in range(4):
+        rows.append(f"{t0 + i * 250000},{t0 + (i + 1) * 250000},"
+                    f"1.5,0.0,0.0,0.0,0.0,0.01")
+    p.write_text("\n".join(rows) + "\n")
+    stamps, poses = oxford.load_gt_csv(str(p))
+    assert poses.shape[0] == 5
+    assert np.isclose(poses[1, 0], 1.5, atol=1e-9)
+    # integrated yaw accumulates
+    assert np.isclose(poses[-1, 2], 0.04, atol=1e-9)
+    assert stamps.shape[0] == 5
+
+
+def test_gt_csv_generic_format(tmp_path):
+    p = tmp_path / "gt.csv"
+    rows = ["stamp,x,y,yaw"]
+    for i in range(3):
+        rows.append(f"{i * 0.25},{10.0 + i},{5.0},{0.5}")
+    p.write_text("\n".join(rows) + "\n")
+    stamps, poses = oxford.load_gt_csv(str(p), fmt="xyyaw")
+    # rebased to the first pose
+    np.testing.assert_allclose(poses[0], [0, 0, 0], atol=1e-9)
+    assert np.isclose(np.linalg.norm(poses[1, :2]), 1.0, atol=1e-9)
+
+
+def test_missing_dir_raises_clearly(tmp_path):
+    import pytest
+    with pytest.raises(FileNotFoundError, match="no network egress"):
+        list(oxford.oxford_frames(str(tmp_path / "nope")))
