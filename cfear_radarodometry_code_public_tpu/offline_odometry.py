@@ -116,6 +116,45 @@ def write_pars(path, cfg, args, timing, extra):
         f.write(timing.csv() + "\n")
 
 
+def _profile_stages(cfg, images, timing):
+    """Per-stage timings with the reference's stage names
+    ("Filtering" `radar_driver.cpp:87`, "build_normals" / "register"
+    `odometrykeyframefuser.cpp:253-256`). Stages are re-run standalone
+    (jitted separately, host-synced), so numbers are per-stage upper bounds."""
+    import jax
+    import jax.numpy as jnp
+
+    from cfear_radarodometry_code_public_tpu.ops import (features, filtering,
+                                                         registration)
+
+    f_filter = jax.jit(lambda im: filtering.filter_polar_image(im, cfg))
+    f_cells = jax.jit(lambda p: features.compute_cells(p, cfg))
+    f_reg = jax.jit(lambda kf, kfp, kfv, c, g: registration.register(
+        kf, kfp, kfv, c, g, cfg=cfg))
+
+    pts0 = f_filter(jnp.asarray(images[0]))
+    cells0 = f_cells(pts0)
+    s = cfg.odometry.submap_scan_size
+    kf = jax.tree.map(lambda a: jnp.stack([a] * s), cells0)
+    kfp = jnp.zeros((s, 3), jnp.float32)
+    kfv = jnp.ones((s,), bool)
+    guess = jnp.asarray([1.5, 0.0, 0.0], jnp.float32)
+    np.asarray(f_reg(kf, kfp, kfv, cells0, guess).pose)  # warm
+
+    for img in images:
+        with timing.timer("Filtering"):
+            pts = f_filter(jnp.asarray(img))
+            np.asarray(pts.xy)
+        with timing.timer("build_normals"):
+            cells = f_cells(pts)
+            np.asarray(cells.mean)
+        with timing.timer("register"):
+            res = f_reg(kf, kfp, kfv, cells, guess)
+            np.asarray(res.pose)
+        timing.document("Surface points", float(np.asarray(cells.n)))
+        timing.document("itrs", float(np.asarray(res.iterations)))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dataset", default="synthetic",
@@ -158,6 +197,9 @@ def main(argv=None):
                     default=False)
     ap.add_argument("--use_raw_pointcloud", action="store_true", default=False)
     ap.add_argument("--max_cells", type=int, default=None)
+    ap.add_argument("--profile-stages", action="store_true", default=False,
+                    help="additionally time Filtering/build_normals/register "
+                         "per stage (reference stage names) into pars.txt")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -204,6 +246,9 @@ def main(argv=None):
         if gt is not None:
             gb.attach_ground_truth(stamps, gt, tol=1e-3)
         gb.save(os.path.join(args.output_dir, "simple_graph.npz"))
+
+    if args.profile_stages:
+        _profile_stages(cfg, images[:min(len(images), 8)], timing)
 
     result = {"frames": len(images), "fps": round(fps, 2),
               "keyframes": int(out.fused.sum()),

@@ -89,6 +89,8 @@ def _lm_core(rows, px0, py0, pt0, cfg: CFEARConfig):
         jy = c * sx - s * sy            # d(ty)/dtheta
         dx = tx - mx
         dy = ty - my
+        # all 10 reductions are evaluated as ONE stacked (10, N) -> (10,)
+        # reduction so each LM iteration is a couple of fused kernels
         if cost_metric == "P2L":
             e = dx * r5 + dy * r6
             ssq = e * e
@@ -96,16 +98,11 @@ def _lm_core(rows, px0, py0, pt0, cfg: CFEARConfig):
             wd = w * drho
             # J = [nx, ny, nx*jx + ny*jy]
             jt = r5 * jx + r6 * jy
-            cost = 0.5 * jnp.sum(w * rho)
-            gx = jnp.sum(wd * r5 * e)
-            gy = jnp.sum(wd * r6 * e)
-            gt = jnp.sum(wd * jt * e)
-            hxx = jnp.sum(wd * r5 * r5)
-            hxy = jnp.sum(wd * r5 * r6)
-            hxt = jnp.sum(wd * r5 * jt)
-            hyy = jnp.sum(wd * r6 * r6)
-            hyt = jnp.sum(wd * r6 * jt)
-            htt = jnp.sum(wd * jt * jt)
+            terms = jnp.stack([
+                w * rho,
+                wd * r5 * e, wd * r6 * e, wd * jt * e,
+                wd * r5 * r5, wd * r5 * r6, wd * r5 * jt,
+                wd * r6 * r6, wd * r6 * jt, wd * jt * jt])
         else:
             # residual = L @ [dx, dy]; L = [[l11, 0], [l21, l22]]
             e0 = r5 * dx
@@ -113,20 +110,21 @@ def _lm_core(rows, px0, py0, pt0, cfg: CFEARConfig):
             ssq = e0 * e0 + e1 * e1
             rho, drho = losses.rho(ssq, reg.loss, reg.loss_limit)
             wd = w * drho
-            cost = 0.5 * jnp.sum(w * rho)
             # J0 = [l11, 0, l11*jx]; J1 = [l21, l22, l21*jx + l22*jy]
             j0t = r5 * jx
             j1t = r6 * jx + r7 * jy
-            gx = jnp.sum(wd * (r5 * e0 + r6 * e1))
-            gy = jnp.sum(wd * (r7 * e1))
-            gt = jnp.sum(wd * (j0t * e0 + j1t * e1))
-            hxx = jnp.sum(wd * (r5 * r5 + r6 * r6))
-            hxy = jnp.sum(wd * (r6 * r7))
-            hxt = jnp.sum(wd * (r5 * j0t + r6 * j1t))
-            hyy = jnp.sum(wd * (r7 * r7))
-            hyt = jnp.sum(wd * (r7 * j1t))
-            htt = jnp.sum(wd * (j0t * j0t + j1t * j1t))
-        return cost, (gx, gy, gt), (hxx, hxy, hxt, hyy, hyt, htt)
+            terms = jnp.stack([
+                w * rho,
+                wd * (r5 * e0 + r6 * e1), wd * (r7 * e1),
+                wd * (j0t * e0 + j1t * e1),
+                wd * (r5 * r5 + r6 * r6), wd * (r6 * r7),
+                wd * (r5 * j0t + r6 * j1t),
+                wd * (r7 * r7), wd * (r7 * j1t),
+                wd * (j0t * j0t + j1t * j1t)])
+        s_ = jnp.sum(terms, axis=-1)
+        cost = 0.5 * s_[0]
+        return cost, (s_[1], s_[2], s_[3]), (s_[4], s_[5], s_[6], s_[7],
+                                             s_[8], s_[9])
 
     def cost_only(px, py, pt):
         c, s = jnp.cos(pt), jnp.sin(pt)
