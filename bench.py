@@ -56,11 +56,13 @@ def main():
             feature=dataclasses.replace(cfg.feature, max_cells=256),
             filter=dataclasses.replace(cfg.filter, k_strongest=8))
     else:
-        # Oxford-scale flagship config (CFEAR-3); straight-line solver loops
+        # Oxford-scale flagship config (CFEAR-3). while-loop solver is the
+        # fastest single-sequence mode on this hardware (unrolled/batched
+        # variants measured slower; see git history)
         cfg = preset("CFEAR-3", dataset="oxford")
-        cfg = cfg.replace(registration=dataclasses.replace(
-            cfg.registration, unroll_solver=True,
-            use_fused_lm=args.fused_lm))
+        if args.fused_lm:
+            cfg = cfg.replace(registration=dataclasses.replace(
+                cfg.registration, use_fused_lm=True))
 
     dev = jax.devices()[0]
     print(f"device: {dev}, config: {cfg.name} "
