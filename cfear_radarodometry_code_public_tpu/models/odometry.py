@@ -24,7 +24,6 @@ The keyframe window is a fixed-size ring buffer of cell arrays
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import NamedTuple
 
 import jax

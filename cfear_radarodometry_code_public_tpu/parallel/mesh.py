@@ -12,7 +12,7 @@ speed from the fixed-shape per-frame kernels.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
