@@ -15,10 +15,15 @@ radar data, scanned in chunks on one chip.
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compilation cache: TPU programs here take minutes to compile
+# through the remote compile service; cache hits take seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 
 def main():
