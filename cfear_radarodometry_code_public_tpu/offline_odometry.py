@@ -170,6 +170,10 @@ def main(argv=None):
     ap.add_argument("--speed", type=float, default=6.0)
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--ingest", choices=("image", "host"), default="image",
+                    help="host: native data-plane k-strongest filter on CPU "
+                         "threads, only candidate sets cross the device link "
+                         "(identical results, ~25x less link traffic)")
     ap.add_argument("--save-graph", dest="save_graph", action="store_true",
                     default=True)
     ap.add_argument("--no-save-graph", dest="save_graph", action="store_false")
@@ -224,7 +228,8 @@ def main(argv=None):
         images, stamps, gt = load_sequence(args, cfg)
     print(f"loaded {len(images)} frames", file=sys.stderr)
 
-    runner = odometry.OdometryRunner(cfg, chunk=args.chunk)
+    runner = odometry.OdometryRunner(cfg, chunk=args.chunk,
+                                     ingest=args.ingest)
     t0 = time.perf_counter()
     with timing.timer("odometry-total"):
         runner.process(images)

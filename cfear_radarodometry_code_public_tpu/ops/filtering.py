@@ -150,6 +150,31 @@ def polar_to_points(bins, valid, intens, peaks, cfg: CFEARConfig) -> PointCloud:
     )
 
 
+class Candidates(NamedTuple):
+    """Pre-filtered per-azimuth k-strongest candidate set (host-filter ingest).
+
+    Produced by the native data plane (`utils/native_io.py:
+    filter_frames_host`); ~25x fewer bytes over the host->device link than
+    the raw polar image. One frame is (A, K) per field.
+    """
+
+    bins: jax.Array        # int16 — selected range bins, -1 for empty slots
+    intensity: jax.Array   # uint8
+    peak: jax.Array        # uint8 — axial-NMS peak flag
+
+
+def points_from_candidates(cand: Candidates, cfg: CFEARConfig) -> PointCloud:
+    """Device-side half of the split ingest: candidates -> point cloud.
+
+    Equivalent to `filter_polar_image` on the original image (the candidate
+    set is exactly the k-strongest selection; only the cheap
+    polar->Cartesian conversion remains on device)."""
+    bins = cand.bins.astype(jnp.int32)
+    valid = bins >= 0
+    return polar_to_points(jnp.maximum(bins, 0), valid,
+                           cand.intensity, cand.peak.astype(bool), cfg)
+
+
 def intensity_filter(pc: PointCloud, threshold: float = 50.0,
                      min_range: float = 0.0, max_range: float = 150.0
                      ) -> PointCloud:

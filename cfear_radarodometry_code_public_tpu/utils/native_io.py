@@ -69,6 +69,12 @@ def _load_lib() -> Optional[ctypes.CDLL]:
                                               ctypes.c_void_p,
                                               ctypes.POINTER(ctypes.c_uint64)]
             lib.cfear_loader_destroy.argtypes = [ctypes.c_void_p]
+            lib.cfear_filter_frames.restype = None
+            lib.cfear_filter_frames.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int]
             _lib = lib
         except Exception:
             _lib_failed = True
@@ -159,6 +165,75 @@ class RadarPack:
         if self._h is not None:
             self._lib.cfear_pack_close(self._h)
             self._h = None
+
+
+def filter_frames_host(images: np.ndarray, k: int, z_min: int,
+                       nms_window: int = 3, n_threads: int = 8
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side k-strongest + axial-NMS filter over (T, A, R) uint8 sweeps.
+
+    The data-plane half of the split ingest pipeline: reduces each sweep to
+    its (A, K) candidate set (selected range bins, intensities, NMS peak
+    flags) before the host->device transfer, ~25x fewer bytes on the link.
+    Bit-identical to the on-device filter (`ops/filtering.py`:
+    `kstrongest_mask` + `nms_peak_image`; reference semantics
+    `radar_filters.cpp:209-298`). Returns (bins (T, A, K) int16 with -1 for
+    empty slots, intensities (T, A, K) uint8, peaks (T, A, K) uint8).
+    """
+    images = np.ascontiguousarray(images, np.uint8)
+    squeeze = images.ndim == 2
+    if squeeze:
+        images = images[None]
+    t, a, r = images.shape
+    lib = _load_lib()
+    bins = np.empty((t, a, k), np.int16)
+    intens = np.empty((t, a, k), np.uint8)
+    peaks = np.empty((t, a, k), np.uint8)
+    if lib is not None:
+        lib.cfear_filter_frames(
+            images.ctypes.data_as(ctypes.c_void_p), t, a, r, k, z_min,
+            nms_window, bins.ctypes.data_as(ctypes.c_void_p),
+            intens.ctypes.data_as(ctypes.c_void_p),
+            peaks.ctypes.data_as(ctypes.c_void_p), n_threads)
+    else:
+        _filter_frames_numpy(images, k, z_min, nms_window, bins, intens,
+                             peaks)
+    if squeeze:
+        return bins[0], intens[0], peaks[0]
+    return bins, intens, peaks
+
+
+def _filter_frames_numpy(images, k, z_min, w, bins, intens, peaks):
+    """Vectorized NumPy fallback with identical semantics."""
+    t, a, r = images.shape
+    shift = 1
+    while shift < r:
+        shift <<= 1
+    img = images.astype(np.int32)
+    bidx = np.arange(r, dtype=np.int32)
+    # NMS score / windowed max (zero-padded borders)
+    pad = np.pad(img, ((0, 0), (0, 0), (w, w)))
+    cs = np.pad(np.cumsum(pad, axis=-1), ((0, 0), (0, 0), (1, 0)))
+    score = cs[..., 2 * w + 1:] - cs[..., :-(2 * w + 1)]
+    winmax = score.copy()
+    for s in range(1, w + 1):
+        winmax[..., :-s] = np.maximum(winmax[..., :-s], score[..., s:])
+        winmax[..., s:] = np.maximum(winmax[..., s:], score[..., :-s])
+    interior = (bidx >= w) & (bidx < r - w)
+    is_peak = (score >= winmax) & interior
+    key = np.where(img >= z_min, img * shift + bidx, -1)
+    # top-k per row, descending
+    part = np.argpartition(-key, k - 1, axis=-1)[..., :k]
+    topv = np.take_along_axis(key, part, axis=-1)
+    order = np.argsort(-topv, axis=-1, kind="stable")
+    topv = np.take_along_axis(topv, order, axis=-1)
+    valid = topv >= 0
+    b = np.where(valid, topv % shift, -1)
+    bins[...] = b.astype(np.int16)
+    intens[...] = np.where(valid, topv // shift, 0).astype(np.uint8)
+    peaks[...] = np.where(
+        valid, np.take_along_axis(is_peak, np.maximum(b, 0), axis=-1),
+        False).astype(np.uint8)
 
 
 class PrefetchLoader:

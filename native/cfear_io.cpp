@@ -14,8 +14,10 @@
 //
 // Exposed as a plain C ABI for ctypes (no pybind11 dependency).
 
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
+#include <functional>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -240,6 +242,107 @@ void cfear_loader_destroy(void* handle) {
   L->cv_ready.notify_all();
   if (L->worker.joinable()) L->worker.join();
   delete L;
+}
+
+}  // extern "C"
+
+// ---------------- host-side k-strongest + axial-NMS filter ----------------
+//
+// Production ingest splits the pipeline: the data plane reduces each polar
+// sweep (A x R uint8, ~1.5 MB) to its k-strongest candidate set
+// (A x K bins/intensities/peak flags, ~64 KB) before the host->device
+// transfer, so the accelerator link carries 20-30x fewer bytes. Semantics
+// are bit-identical to the on-device filter (`ops/filtering.py`
+// `kstrongest_mask` + `nms_peak_image`, themselves reproducing the
+// reference's `StructuredKStrongest`, radar_filters.cpp:209-298):
+//  - keep the k strongest bins with intensity >= z_min per azimuth row,
+//    ties broken toward the larger range bin, output sorted by
+//    (intensity, bin) descending; empty slots carry bin = -1;
+//  - peak flag: the 7-bin smoothed score (w = 3) is a windowed local max
+//    and the bin is >= w away from the image border.
+
+namespace {
+
+void filter_rows(const uint8_t* images, int64_t n_rows, int64_t r, int k,
+                 int z_min, int w, int16_t* out_bins, uint8_t* out_intens,
+                 uint8_t* out_peaks, int64_t row_begin, int64_t row_end) {
+  std::vector<int32_t> keys(r);
+  std::vector<int32_t> score(r);
+  std::vector<int32_t> winmax(r);
+  int shift = 1;
+  while (shift < r) shift <<= 1;
+  for (int64_t row = row_begin; row < row_end; ++row) {
+    const uint8_t* img = images + row * r;
+    // NMS score: sum of raw intensities over [b-w, b+w], zero-padded
+    for (int64_t b = 0; b < r; ++b) {
+      int32_t s = 0;
+      int64_t lo = b - w < 0 ? 0 : b - w;
+      int64_t hi = b + w >= r ? r - 1 : b + w;
+      for (int64_t j = lo; j <= hi; ++j) s += img[j];
+      score[b] = s;
+    }
+    for (int64_t b = 0; b < r; ++b) {
+      int32_t m = score[b];
+      int64_t lo = b - w < 0 ? 0 : b - w;
+      int64_t hi = b + w >= r ? r - 1 : b + w;
+      for (int64_t j = lo; j <= hi; ++j)
+        if (score[j] > m) m = score[j];
+      winmax[b] = m;
+    }
+    // k-strongest by composite key (intensity major, range bin minor)
+    int n_cand = 0;
+    for (int64_t b = 0; b < r; ++b)
+      if (img[b] >= z_min)
+        keys[n_cand++] = static_cast<int32_t>(img[b]) * shift
+                         + static_cast<int32_t>(b);
+    int kept = n_cand < k ? n_cand : k;
+    if (n_cand > k)
+      std::nth_element(keys.begin(), keys.begin() + k, keys.begin() + n_cand,
+                       std::greater<int32_t>());
+    std::sort(keys.begin(), keys.begin() + kept, std::greater<int32_t>());
+    int16_t* ob = out_bins + row * k;
+    uint8_t* oi = out_intens + row * k;
+    uint8_t* op = out_peaks + row * k;
+    for (int j = 0; j < kept; ++j) {
+      int32_t bin = keys[j] % shift;
+      ob[j] = static_cast<int16_t>(bin);
+      oi[j] = static_cast<uint8_t>(keys[j] / shift);
+      bool interior = bin >= w && bin < r - w;
+      op[j] = (interior && score[bin] >= winmax[bin]) ? 1 : 0;
+    }
+    for (int j = kept; j < k; ++j) {
+      ob[j] = -1;
+      oi[j] = 0;
+      op[j] = 0;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// images: (T, A, R) uint8. Outputs: (T, A, K) int16 / uint8 / uint8.
+void cfear_filter_frames(const uint8_t* images, int64_t t, int64_t a,
+                         int64_t r, int k, int z_min, int w,
+                         int16_t* out_bins, uint8_t* out_intens,
+                         uint8_t* out_peaks, int n_threads) {
+  const int64_t n_rows = t * a;
+  if (n_threads <= 1 || n_rows < 64) {
+    filter_rows(images, n_rows, r, k, z_min, w, out_bins, out_intens,
+                out_peaks, 0, n_rows);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t per = (n_rows + n_threads - 1) / n_threads;
+  for (int i = 0; i < n_threads; ++i) {
+    int64_t lo = i * per;
+    int64_t hi = lo + per > n_rows ? n_rows : lo + per;
+    if (lo >= hi) break;
+    threads.emplace_back(filter_rows, images, n_rows, r, k, z_min, w,
+                         out_bins, out_intens, out_peaks, lo, hi);
+  }
+  for (auto& th : threads) th.join();
 }
 
 }  // extern "C"

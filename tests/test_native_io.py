@@ -60,3 +60,60 @@ def test_loader_loop_mode(tmp_path):
         assert nxt[0].shape[0] == 4
     loader.close()
     pack.close()
+
+
+def test_host_filter_matches_device_filter():
+    """Native k-strongest+NMS must be bit-identical to ops/filtering.py."""
+    import jax.numpy as jnp
+
+    from cfear_radarodometry_code_public_tpu.config import preset
+    from cfear_radarodometry_code_public_tpu.ops import filtering
+
+    cfg = preset("CFEAR-1", dataset="synthetic")
+    rng = np.random.default_rng(7)
+    a, r = cfg.radar.n_azimuths, cfg.radar.n_bins
+    # include flat/tied regions to exercise the tie-break
+    img = rng.integers(0, 255, (a, r), dtype=np.uint8)
+    img[:, 100:110] = 200
+    k, z = cfg.filter.k_strongest, cfg.filter.z_min
+    bins_h, int_h, peak_h = native_io.filter_frames_host(
+        img, k, z, cfg.filter.nms_window)
+    bins_d, valid_d = filtering.kstrongest_mask(jnp.asarray(img), k, z)
+    peak_img = filtering.nms_peak_image(jnp.asarray(img), cfg.filter.nms_window)
+    peaks_d = jnp.take_along_axis(peak_img, bins_d, axis=1) & valid_d
+    np.testing.assert_array_equal(
+        bins_h, np.where(np.asarray(valid_d), np.asarray(bins_d), -1))
+    np.testing.assert_array_equal(
+        int_h, np.where(np.asarray(valid_d),
+                        np.take_along_axis(img, np.asarray(bins_d), axis=1), 0))
+    np.testing.assert_array_equal(peak_h.astype(bool), np.asarray(peaks_d))
+
+
+def test_host_filter_native_matches_numpy_fallback():
+    rng = np.random.default_rng(11)
+    imgs = rng.integers(0, 255, (3, 32, 256), dtype=np.uint8)
+    b1 = np.empty((3, 32, 9), np.int16)
+    i1 = np.empty((3, 32, 9), np.uint8)
+    p1 = np.empty((3, 32, 9), np.uint8)
+    native_io._filter_frames_numpy(imgs, 9, 60, 3, b1, i1, p1)
+    b2, i2, p2 = native_io.filter_frames_host(imgs, 9, 60, 3)
+    np.testing.assert_array_equal(b1, b2)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(p1, p2)
+
+
+def test_candidates_pipeline_matches_image_pipeline():
+    """Host-filter ingest must produce identical odometry to image ingest."""
+    from cfear_radarodometry_code_public_tpu.config import preset
+    from cfear_radarodometry_code_public_tpu.datasets import synthetic
+    from cfear_radarodometry_code_public_tpu.models.odometry import (
+        OdometryRunner)
+
+    cfg = preset("CFEAR-3", dataset="synthetic")
+    images, _ = synthetic.make_sequence(seed=21, n_frames=10, cfg=cfg)
+    r_img = OdometryRunner(cfg, chunk=4, ingest="image")
+    r_img.process(images)
+    r_host = OdometryRunner(cfg, chunk=4, ingest="host")
+    r_host.process(images)
+    np.testing.assert_allclose(r_img.trajectory(), r_host.trajectory(),
+                               atol=1e-6)
