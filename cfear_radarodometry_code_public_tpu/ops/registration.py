@@ -185,6 +185,84 @@ def associate(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, src_pose,
     return Associations(tar_idx, weight, valid)
 
 
+def _world_attrs(kf_cells: CellMap, kf_poses, cfg: CFEARConfig):
+    """All keyframe cells pre-transformed into the registration frame ONCE.
+
+    The keyframe poses are fixed during a register() call
+    (`incremental_last_to_previous`, `registration.cpp:18-27`), so the
+    per-iteration association loop only needs gathers from this packed
+    (S, M, D) attribute matrix instead of re-transforming gathered cells
+    every iteration. Columns: [mx, my, nx, ny, nsamples, planarity, valid]
+    (+ [l11, l21, l22] sqrt-information for P2D)."""
+    reg = cfg.registration
+
+    def per_kf(cells_i: CellMap, pose_i):
+        mean = se2.transform(pose_i, cells_i.mean)
+        normal = se2.rotate(pose_i, cells_i.normal)
+        cols = [mean, normal, cells_i.nsamples[:, None],
+                cells_i.planarity[:, None],
+                cells_i.valid.astype(mean.dtype)[:, None]]
+        if reg.cost == "P2D":
+            R = se2.rotmat(pose_i[2])
+            cov_w = jnp.einsum("ij,njk,lk->nil", R, cells_i.cov, R)
+            cov_w = (cov_w + reg.regularization
+                     * jnp.eye(2, dtype=cov_w.dtype)) * reg.cov_scale
+            det = (cov_w[:, 0, 0] * cov_w[:, 1, 1]
+                   - cov_w[:, 0, 1] * cov_w[:, 1, 0])
+            det = jnp.maximum(det, 1e-20)
+            ia = cov_w[:, 1, 1] / det
+            ib = -cov_w[:, 0, 1] / det
+            ic = cov_w[:, 0, 0] / det
+            l11, l21, l22 = _chol2_lower(ia, ib, ic)
+            cols.append(jnp.stack([l11, l21, l22], -1))
+        return jnp.concatenate(cols, axis=-1)
+
+    return jax.vmap(per_kf)(kf_cells, kf_poses)
+
+
+def _tgt_from_attrs(g, cfg: CFEARConfig):
+    """Attribute rows (S, M, D) -> the target-terms dict of `_target_terms`."""
+    tgt = {"mean": g[..., 0:2], "normal": g[..., 2:4]}
+    if cfg.registration.cost == "P2D":
+        tgt["sqrt_info"] = g[..., 7:10]
+    return tgt
+
+
+def _associate_world(attrs, src: CellMap, src_pose, kf_valid, radius,
+                     cfg: CFEARConfig, cos_gate):
+    """Exact dense 1-NN association in the shared registration frame.
+
+    Semantically identical to `associate(...)` with the dense backend
+    (distances are invariant to the rigid change of frame), but the source
+    scan is transformed once (not once per keyframe) and ALL per-target
+    quantities come from a single (M, D) gather of the pre-packed world
+    attributes. Returns (Associations, target-terms dict)."""
+    reg = cfg.registration
+    src_mean_w = se2.transform(src_pose, src.mean)            # (M, 2)
+    src_norm_w = se2.rotate(src_pose, src.normal)
+    src_n2 = jnp.sum(src_mean_w ** 2, -1)
+
+    def per_kf(attr_i, kf_ok):
+        tmean = attr_i[:, 0:2]
+        cvalid = attr_i[:, 6] > 0.5
+        d2 = (src_n2[:, None] + jnp.sum(tmean ** 2, -1)[None, :]
+              - 2.0 * src_mean_w @ tmean.T)
+        d2 = jnp.where(cvalid[None, :], d2, jnp.inf)
+        nn = jnp.argmin(d2, axis=1)                           # (M,)
+        nn_d2 = jnp.min(d2, axis=1)        # = d2[nn] without the gather
+        g = attr_i[nn]                                        # ONE gather
+        sim_dir = jnp.maximum(jnp.sum(src_norm_w * g[:, 2:4], -1), 0.0)
+        ok = (src.valid & kf_ok & (g[:, 6] > 0.5)
+              & (nn_d2 < radius * radius) & (sim_dir > cos_gate))
+        w = losses.association_weight(
+            reg.weight_opt, src.nsamples, g[:, 4], sim_dir,
+            src.planarity, g[:, 5])
+        return nn.astype(jnp.int32), jnp.where(ok, w, 0.0), ok, g
+
+    nn, w, ok, g = jax.vmap(per_kf)(attrs, kf_valid)
+    return Associations(nn, w, ok), _tgt_from_attrs(g, cfg)
+
+
 # ---------------------------------------------------------------------------
 # residual / normal-equation assembly
 # ---------------------------------------------------------------------------
@@ -433,6 +511,7 @@ class _OuterState(NamedTuple):
     itr: jax.Array
     done: jax.Array
     failed: jax.Array
+    assoc: Associations     # associations of the last executed iteration
 
 
 def register(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, guess,
@@ -459,21 +538,28 @@ def register(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, guess,
         soft_scale = jnp.asarray(0.0, dtype)
         soft_sqrt_info = None
 
+    fast_dense = reg.assoc_method == "dense"
     if reg.assoc_method == "grid":
         buckets = jax.vmap(lambda c: build_buckets(c, cfg))(kf_cells)
     else:
         buckets = None
+    attrs = _world_attrs(kf_cells, kf_poses, cfg) if fast_dense else None
+    cos_gate = math.cos(math.radians(reg.angle_outlier_deg))
 
     def outer_body(st: _OuterState) -> _OuterState:
         itr1 = st.itr + 1
         # coarse-to-fine association radius (`n_scan_normal.cpp:222`)
         radius = jnp.where(itr1 == 1, 2.0 * reg.assoc_radius, reg.assoc_radius)
-        assoc = associate(kf_cells, kf_poses, kf_valid, src, st.pose, radius,
-                          cfg, buckets)
+        if fast_dense:
+            assoc, tgt = _associate_world(attrs, src, st.pose, kf_valid,
+                                          radius, cfg, cos_gate)
+        else:
+            assoc = associate(kf_cells, kf_poses, kf_valid, src, st.pose,
+                              radius, cfg, buckets)
+            tgt = _target_terms(kf_cells, kf_poses, assoc, cfg)
         n_assoc = jnp.sum(assoc.valid)
         n_res = n_assoc * res_dim + (3 if reg.soft_constraint else 0)
         failed = n_res <= 1                     # (`n_scan_normal.cpp:370`)
-        tgt = _target_terms(kf_cells, kf_poses, assoc, cfg)
         if not reg.soft_constraint:
             from cfear_radarodometry_code_public_tpu.ops import pallas_lm
             packed = pallas_lm.pack_associations(
@@ -511,18 +597,24 @@ def register(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, guess,
             itr=itr1,
             done=worse | conv | failed,
             failed=failed,
+            assoc=assoc,
         )
 
     def outer_cond(st: _OuterState):
         return (~st.done) & (st.itr < reg.max_itr_association)
 
+    s_kf, m_src = kf_cells.valid.shape[0], src.valid.shape[0]
     init = _OuterState(pose=guess, prev_pose=guess,
                        prev_score=jnp.asarray(jnp.finfo(dtype).max, dtype),
                        final_cost=jnp.asarray(jnp.finfo(dtype).max, dtype),
                        num_assoc=jnp.asarray(0, jnp.int32),
                        num_res_scalars=jnp.asarray(0, jnp.int32),
                        itr=jnp.asarray(0, jnp.int32),
-                       done=jnp.asarray(False), failed=jnp.asarray(False))
+                       done=jnp.asarray(False), failed=jnp.asarray(False),
+                       assoc=Associations(
+                           tar_idx=jnp.zeros((s_kf, m_src), jnp.int32),
+                           weight=jnp.zeros((s_kf, m_src), dtype),
+                           valid=jnp.zeros((s_kf, m_src), bool)))
     if reg.disable_registration:
         eye = jnp.eye(3, dtype=dtype)
         return RegistrationResult(guess, eye, jnp.asarray(True),
@@ -541,10 +633,16 @@ def register(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, guess,
         final = jax.lax.while_loop(outer_cond, outer_body, init)
 
     # --- covariance: Censi-style scaled inverse GN Hessian ---------------
-    # (`n_scan_normal.cpp:392-433`): cov = 30 * final_cost/(n_res - n_par) * H^-1
-    assoc = associate(kf_cells, kf_poses, kf_valid, src, final.pose,
-                      reg.assoc_radius, cfg, buckets)
-    tgt = _target_terms(kf_cells, kf_poses, assoc, cfg)
+    # (`n_scan_normal.cpp:392-433`): cov = 30 * final_cost/(n_res - n_par) * H^-1,
+    # evaluated at the final pose on the LAST BUILT problem's associations
+    # (Ceres keeps the problem from the final association iteration; no
+    # fresh association happens for the covariance)
+    assoc = final.assoc
+    if fast_dense:
+        tgt = _tgt_from_attrs(
+            jax.vmap(lambda a, i: a[i])(attrs, assoc.tar_idx), cfg)
+    else:
+        tgt = _target_terms(kf_cells, kf_poses, assoc, cfg)
     cost_f, _, H = _cost_grad_hess(final.pose, src, tgt, assoc, cfg, guess,
                                    soft_scale, soft_sqrt_info)
     dof = jnp.maximum(final.num_res_scalars.astype(dtype) - 3.0, 1.0)
