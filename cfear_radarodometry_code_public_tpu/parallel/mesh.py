@@ -30,14 +30,17 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-def make_batched_runner(cfg: CFEARConfig, mesh: Mesh, axis: str = "data"):
+def make_batched_runner(cfg: CFEARConfig, mesh: Mesh, axis: str = "data",
+                        ingest: str = "image"):
     """Build (init_fn, step_chunk_fn) for a sharded batch of sequences.
 
     States and frame chunks carry a leading batch axis sharded over `axis`;
     each call scans a chunk of frames for every sequence in the batch.
+    `ingest="candidates"` consumes host-filtered candidate sets
+    (`native_io.filter_frames_host`) instead of raw images.
     """
-    step = odometry.make_step(cfg)
-    bootstrap = odometry.make_bootstrap(cfg)
+    step = odometry.make_step(cfg, ingest)
+    bootstrap = odometry.make_bootstrap(cfg, ingest)
 
     def shard_batch(tree):
         return jax.tree.map(
@@ -70,33 +73,60 @@ class MultiSequenceRunner:
     """Host driver for a sharded batch of sequences (the "fleet")."""
 
     def __init__(self, cfg: CFEARConfig, batch: int, mesh: Optional[Mesh] = None,
-                 chunk: int = 16):
+                 chunk: int = 16, ingest: str = "image"):
+        if ingest == "host" and cfg.filter.method != "kstrongest":
+            ingest = "image"
         self.cfg = cfg
         self.chunk = chunk
+        self.ingest = ingest
         self.mesh = mesh or make_mesh()
+        kind = "candidates" if ingest == "host" else "image"
         (self.init_fn, self.step_chunk, self.shard_batch,
-         self.bootstrap_batch) = make_batched_runner(cfg, self.mesh)
+         self.bootstrap_batch) = make_batched_runner(cfg, self.mesh,
+                                                     ingest=kind)
         self.states = self.init_fn(batch)
         self.outputs: list = []
 
+    def _prepare(self, images: np.ndarray):
+        """(B, T, A, R) raw frames -> per-frame device inputs."""
+        if self.ingest != "host":
+            return images
+        from cfear_radarodometry_code_public_tpu.ops.filtering import (
+            Candidates)
+        from cfear_radarodometry_code_public_tpu.utils import native_io
+        f = self.cfg.filter
+        b, t = images.shape[:2]
+        bi, it, pk = native_io.filter_frames_host(
+            images.reshape((-1,) + images.shape[2:]), f.k_strongest,
+            f.z_min, f.nms_window)
+        shp = (b, t) + bi.shape[1:]
+        return Candidates(bins=bi.reshape(shp), intensity=it.reshape(shp),
+                          peak=pk.reshape(shp))
+
     def process(self, images: np.ndarray) -> None:
         """images: (B, T, A, R) uint8."""
-        if images.shape[1] and not bool(np.asarray(
-                self.states.initialized).any()):
-            first = self.shard_batch(jnp.asarray(images[:, 0]))
+        inp = self._prepare(images)
+        t = images.shape[1]
+
+        def part(lo, hi):
+            return self.shard_batch(jax.tree.map(
+                lambda x: jnp.asarray(x[:, lo:hi]), inp))
+
+        start = 0
+        if t and not bool(np.asarray(self.states.initialized).any()):
+            first = self.shard_batch(jax.tree.map(
+                lambda x: jnp.asarray(x[:, 0]), inp))
             self.states, out0 = self.bootstrap_batch(self.states, first)
             self.outputs.append(jax.tree.map(
                 lambda a: np.asarray(a)[:, None], out0))
-            images = images[:, 1:]
-        b, t = images.shape[:2]
-        for i in range(0, t - t % self.chunk, self.chunk):
-            blk = self.shard_batch(jnp.asarray(images[:, i:i + self.chunk]))
-            self.states, out = self.step_chunk(self.states, blk)
+            start = 1
+        n_full = start + ((t - start) // self.chunk) * self.chunk
+        for i in range(start, n_full, self.chunk):
+            self.states, out = self.step_chunk(self.states,
+                                               part(i, i + self.chunk))
             self.outputs.append(jax.tree.map(np.asarray, out))
-        rem = t % self.chunk
-        if rem:
-            blk = self.shard_batch(jnp.asarray(images[:, t - rem:]))
-            self.states, out = self.step_chunk(self.states, blk)
+        if n_full < t:
+            self.states, out = self.step_chunk(self.states, part(n_full, t))
             self.outputs.append(jax.tree.map(np.asarray, out))
 
     def trajectories(self) -> np.ndarray:

@@ -63,3 +63,19 @@ def test_sharded_state_layout():
     sh = states.kf_poses.sharding
     assert isinstance(sh, NamedSharding)
     assert sh.spec[0] == "data"
+
+
+def test_multi_sequence_host_ingest_matches_image_ingest():
+    """Batched candidates ingest == batched image ingest, per lane."""
+    cfg = _cfg()
+    b, t = 4, 6
+    images = np.stack([synthetic.make_sequence(seed=200 + s, n_frames=t,
+                                               cfg=cfg)[0] for s in range(b)])
+    m = pmesh.make_mesh(4)
+    r_img = pmesh.MultiSequenceRunner(cfg, batch=b, mesh=m, chunk=3)
+    r_img.process(images)
+    r_host = pmesh.MultiSequenceRunner(cfg, batch=b, mesh=m, chunk=3,
+                                       ingest="host")
+    r_host.process(images)
+    np.testing.assert_allclose(r_img.trajectories(), r_host.trajectories(),
+                               atol=1e-6)
