@@ -102,11 +102,6 @@ def compute_cells(points: PointCloud, cfg: CFEARConfig) -> CellMap:
     centroid = sum_vox / jnp.maximum(cnt_vox, 1.0)[:, None]
     occupied = cnt_vox >= 1.0
 
-    # static voxel centers for relative-coordinate accumulation
-    ii = jnp.arange(dim, dtype=jnp.float32) - dim // 2 + 0.5
-    vc_x = jnp.repeat(ii, dim) * leaf           # (ncells,)
-    vc_y = jnp.tile(ii, dim) * leaf
-
     # --- stage 2: weighted moments per candidate cell ---
     if feat.weight_intensity:
         w_pt = jnp.maximum(points.intensity - feat.intensity_floor, 0.0)
@@ -115,19 +110,35 @@ def compute_cells(points: PointCloud, cfg: CFEARConfig) -> CellMap:
 
     offsets = [(dx, dy) for dx in range(-noff, noff + 1)
                for dy in range(-noff, noff + 1)]
+    # Pre-pack each voxel's neighborhood (centroid x/y + occupancy per
+    # offset) with dense rolls so the per-offset loop below needs NO gathers
+    # — ONE (N, 3*n_off) gather replaces 3 gathers per offset (dynamic
+    # gathers are the slow op on this TPU; the rolls and the scatter are
+    # cheap). Rolled wrap-around entries are masked by the `ok` bounds test.
+    cgrid = jnp.concatenate(
+        [centroid.reshape(dim, dim, 2),
+         occupied.reshape(dim, dim, 1).astype(jnp.float32)], -1)
+    nb = jnp.concatenate(
+        [jnp.roll(cgrid, (-dx, -dy), (0, 1)) for dx, dy in offsets], -1)
+    vid_c = jnp.clip(vid, 0, ncells - 1)
+    nb_pt = nb.reshape(ncells, 3 * len(offsets))[vid_c]       # (N, 27)
+
     tgt_ids = []
     members = []
     rels = []
-    for dx, dy in offsets:
+    for oi, (dx, dy) in enumerate(offsets):
         tx = vidx[:, 0] + dx
         ty = vidx[:, 1] + dy
         ok = in_grid & (tx >= 0) & (tx < dim) & (ty >= 0) & (ty < dim)
         tid = jnp.where(ok, tx * dim + ty, ncells)
-        c = centroid[jnp.clip(tid, 0, ncells - 1)]
+        c = nb_pt[:, 3 * oi:3 * oi + 2]
+        occ = nb_pt[:, 3 * oi + 2] > 0.5
         d2 = jnp.sum((xy - c) ** 2, axis=-1)
-        member = ok & occupied[jnp.clip(tid, 0, ncells - 1)] \
-            & (d2 <= feat.res * feat.res)
-        rel = xy - jnp.stack([vc_x, vc_y], -1)[jnp.clip(tid, 0, ncells - 1)]
+        member = ok & occ & (d2 <= feat.res * feat.res)
+        # voxel center of the target cell, computed arithmetically
+        vcx = (tx.astype(jnp.float32) - dim // 2 + 0.5) * leaf
+        vcy = (ty.astype(jnp.float32) - dim // 2 + 0.5) * leaf
+        rel = xy - jnp.stack([vcx, vcy], -1)
         tgt_ids.append(jnp.where(member, tid, ncells))
         members.append(member)
         rels.append(rel)
@@ -152,6 +163,11 @@ def compute_cells(points: PointCloud, cfg: CFEARConfig) -> CellMap:
     cxx = acc[:, 4] / safe_s0 - mx * mx
     cxy = acc[:, 5] / safe_s0 - mx * my
     cyy = acc[:, 6] / safe_s0 - my * my
+
+    # static voxel centers (constants folded by XLA)
+    ii = jnp.arange(dim, dtype=jnp.float32) - dim // 2 + 0.5
+    vc_x = jnp.repeat(ii, dim) * leaf           # (ncells,)
+    vc_y = jnp.tile(ii, dim) * leaf
 
     # --- stage 3: normals + validity gates (`pointnormal.cpp:37-62`) ---
     lmin, lmax, nvec = _eig2x2_min(cxx, cxy, cyy)

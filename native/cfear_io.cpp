@@ -266,54 +266,79 @@ namespace {
 void filter_rows(const uint8_t* images, int64_t n_rows, int64_t r, int k,
                  int z_min, int w, int16_t* out_bins, uint8_t* out_intens,
                  uint8_t* out_peaks, int64_t row_begin, int64_t row_end) {
-  std::vector<int32_t> keys(r);
+  // O(R) per row: incremental sliding-window NMS score, histogram-threshold
+  // top-k selection, local-max test only at the <= k selected bins.
   std::vector<int32_t> score(r);
-  std::vector<int32_t> winmax(r);
+  std::vector<int32_t> keys;
+  keys.reserve(k);
+  std::vector<int16_t> tie_bins(k > 0 ? k : 1);
   int shift = 1;
   while (shift < r) shift <<= 1;
+  const int zc = z_min < 0 ? 0 : (z_min > 256 ? 256 : z_min);
   for (int64_t row = row_begin; row < row_end; ++row) {
     const uint8_t* img = images + row * r;
     // NMS score: sum of raw intensities over [b-w, b+w], zero-padded
-    for (int64_t b = 0; b < r; ++b) {
+    {
       int32_t s = 0;
-      int64_t lo = b - w < 0 ? 0 : b - w;
-      int64_t hi = b + w >= r ? r - 1 : b + w;
-      for (int64_t j = lo; j <= hi; ++j) s += img[j];
-      score[b] = s;
+      for (int64_t j = 0; j <= w && j < r; ++j) s += img[j];
+      score[0] = s;
+      for (int64_t b = 1; b < r; ++b) {
+        if (b + w < r) s += img[b + w];
+        if (b - w - 1 >= 0) s -= img[b - w - 1];
+        score[b] = s;
+      }
     }
-    for (int64_t b = 0; b < r; ++b) {
-      int32_t m = score[b];
-      int64_t lo = b - w < 0 ? 0 : b - w;
-      int64_t hi = b + w >= r ? r - 1 : b + w;
-      for (int64_t j = lo; j <= hi; ++j)
-        if (score[j] > m) m = score[j];
-      winmax[b] = m;
+    // intensity histogram of candidates (I >= z_min)
+    int32_t hist[257] = {0};
+    for (int64_t b = 0; b < r; ++b) hist[img[b]]++;
+    int32_t n_above = 0;  // candidates with intensity strictly above vt
+    int vt = 256;
+    {
+      int32_t total = 0;
+      for (int v = 255; v >= zc; --v) {
+        if (total + hist[v] >= k) { vt = v; n_above = total; break; }
+        total += hist[v];
+      }
+      if (vt == 256) { vt = zc - 1; n_above = total; }  // fewer than k cands
     }
-    // k-strongest by composite key (intensity major, range bin minor)
-    int n_cand = 0;
-    for (int64_t b = 0; b < r; ++b)
-      if (img[b] >= z_min)
-        keys[n_cand++] = static_cast<int32_t>(img[b]) * shift
-                         + static_cast<int32_t>(b);
-    int kept = n_cand < k ? n_cand : k;
-    if (n_cand > k)
-      std::nth_element(keys.begin(), keys.begin() + k, keys.begin() + n_cand,
-                       std::greater<int32_t>());
-    std::sort(keys.begin(), keys.begin() + kept, std::greater<int32_t>());
+    int take_at_vt = k - n_above;
+    // collect: strictly-above candidates (sorted later) + ties at vt in
+    // descending-bin order (the reference tie-break keeps larger bins)
+    keys.clear();
+    int n_tie = 0;
+    for (int64_t b = r - 1; b >= 0; --b) {
+      int v = img[b];
+      if (v > vt && v >= zc) {
+        keys.push_back(v * shift + static_cast<int32_t>(b));
+      } else if (v == vt && v >= zc && n_tie < take_at_vt) {
+        tie_bins[n_tie++] = static_cast<int16_t>(b);
+      }
+    }
+    std::sort(keys.begin(), keys.end(), std::greater<int32_t>());
     int16_t* ob = out_bins + row * k;
     uint8_t* oi = out_intens + row * k;
     uint8_t* op = out_peaks + row * k;
-    for (int j = 0; j < kept; ++j) {
-      int32_t bin = keys[j] % shift;
-      ob[j] = static_cast<int16_t>(bin);
-      oi[j] = static_cast<uint8_t>(keys[j] / shift);
-      bool interior = bin >= w && bin < r - w;
-      op[j] = (interior && score[bin] >= winmax[bin]) ? 1 : 0;
-    }
-    for (int j = kept; j < k; ++j) {
-      ob[j] = -1;
-      oi[j] = 0;
-      op[j] = 0;
+    int out = 0;
+    auto emit = [&](int32_t bin, uint8_t inten) {
+      ob[out] = static_cast<int16_t>(bin);
+      oi[out] = inten;
+      bool peak = bin >= w && bin < r - w;
+      if (peak) {
+        int32_t sc = score[bin];
+        for (int64_t j = bin - w; j <= bin + w; ++j)
+          if (score[j] > sc) { peak = false; break; }
+      }
+      op[out] = peak ? 1 : 0;
+      ++out;
+    };
+    for (size_t j = 0; j < keys.size() && out < k; ++j)
+      emit(keys[j] % shift, static_cast<uint8_t>(keys[j] / shift));
+    for (int j = 0; j < n_tie && out < k; ++j)
+      emit(tie_bins[j], static_cast<uint8_t>(vt));
+    for (; out < k; ++out) {
+      ob[out] = -1;
+      oi[out] = 0;
+      op[out] = 0;
     }
   }
 }
