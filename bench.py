@@ -40,8 +40,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small config on CPU (smoke test)")
-    ap.add_argument("--frames", type=int, default=64)
-    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--frames", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--check-drift", action="store_true",
                     help="also report synthetic drift to stderr")

@@ -96,9 +96,12 @@ def compute_cells(points: PointCloud, cfg: CFEARConfig) -> CellMap:
     in_grid = valid & jnp.all((vidx >= 0) & (vidx < dim), axis=-1)
     vid = jnp.where(in_grid, vidx[:, 0] * dim + vidx[:, 1], ncells)  # overflow slot
     ones = in_grid.astype(jnp.float32)
-    cnt_vox = jax.ops.segment_sum(ones, vid, num_segments=ncells + 1)[:ncells]
-    sum_vox = jax.ops.segment_sum(xy * ones[:, None], vid,
-                                  num_segments=ncells + 1)[:ncells]
+    # one fused scatter for [count, sum_x, sum_y] (scatter cost is a flat
+    # ~0.37 ms on this TPU regardless of width — never scatter twice)
+    s1 = jax.ops.segment_sum(
+        jnp.concatenate([ones[:, None], xy * ones[:, None]], -1), vid,
+        num_segments=ncells + 1)[:ncells]
+    cnt_vox, sum_vox = s1[:, 0], s1[:, 1:3]
     centroid = sum_vox / jnp.maximum(cnt_vox, 1.0)[:, None]
     occupied = cnt_vox >= 1.0
 
