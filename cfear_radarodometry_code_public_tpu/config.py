@@ -77,9 +77,12 @@ class RegistrationConfig:
     loss_limit: float = 0.1
     weight_opt: str = "Combined"     # Uniform|Sim_N|Sim_direction|Sim_scale|Combined
     assoc_radius: float = 2.0        # kd 1-NN gate (`registration.h:122`); 2x on 1st itr
-    # "dense" (M x M distance matrix on the MXU — fastest on TPU) or "grid"
-    # (bucketed 3x3 lookup — fewer FLOPs but gather-bound; useful on CPU)
-    assoc_method: str = "dense"
+    # "auto" = fused Pallas distance+argmin kernel on TPU (no HBM distance
+    # matrix; ops/pallas_assoc.py), dense XLA on CPU; "dense" = M x M
+    # distance matrix + argmin in XLA; "pallas" = force the kernel
+    # (interpreter mode on CPU); "grid" = bucketed 3x3 lookup (gather-bound,
+    # ~400x slower on this TPU — kept for parity/ablation)
+    assoc_method: str = "auto"
     bucket_capacity: int = 12        # max cells per association bucket
     angle_outlier_deg: float = 30.0  # normal gate cos(pi/6) (`n_scan_normal.cpp:219`)
     max_itr_association: int = 8     # outer loop (`n_scan_normal.h:75`)

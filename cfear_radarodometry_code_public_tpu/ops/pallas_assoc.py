@@ -1,0 +1,81 @@
+"""Fused 1-NN association kernel: distance + argmin without HBM round-trips.
+
+The dense XLA association backend materializes the (S, M_src, M_tar) squared
+-distance matrix in HBM (~150 MB at CFEAR-3 Oxford scale) and reads it back
+for the argmin — ~0.33 ms per association iteration, pure bandwidth. This
+kernel computes each (TS, M_tar) distance tile in VMEM from broadcasted
+coordinate vectors and reduces it to (min, argmin) on the VPU in the same
+pass, so only the tiny (M_src,) results ever touch HBM.
+
+The difference form (sx - tx)^2 + (sy - ty)^2 is used rather than the
+|s|^2 + |t|^2 - 2 s.t matmul form: with only 2 coordinates the MXU brings no
+advantage (K would be padded to 128 lanes, inflating FLOPs 64x), and the
+difference form has no cancellation error — it matches the reference
+kd-tree's arithmetic (`pointnormal.cpp:238-254`) bit-for-bit semantics
+(exact nearest neighbor, lowest-index tie-break like `jnp.argmin`).
+
+Runs compiled on TPU; interpreter mode on CPU (tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_TS = 256            # source rows per grid step
+
+
+def _nn_kernel(sx_ref, sy_ref, tx_ref, ty_ref, mask_ref, nn_ref, d2_ref):
+    sx = sx_ref[...]                       # (TS, 1)
+    sy = sy_ref[...]
+    tx = tx_ref[...]                       # (1, M)
+    ty = ty_ref[...]
+    dx = sx - tx                           # (TS, M) in VMEM
+    dy = sy - ty
+    d2 = dx * dx + dy * dy + mask_ref[...]   # +inf on invalid targets
+    nn_ref[...] = jnp.argmin(d2, axis=1, keepdims=True).astype(jnp.int32)
+    d2_ref[...] = jnp.min(d2, axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nn_min(src_xy, tar_xy, tar_valid, interpret: bool = False):
+    """Exact 1-NN of each source point among each keyframe's target points.
+
+    src_xy (M, 2); tar_xy (S, M, 2); tar_valid (S, M) bool.
+    Returns (nn (S, M) int32, d2min (S, M) f32 — +inf rows where no valid
+    target exists). Identical results to the dense XLA argmin backend.
+    """
+    s, m = tar_valid.shape
+    sx = src_xy[:, 0:1].astype(jnp.float32)              # (M, 1)
+    sy = src_xy[:, 1:2].astype(jnp.float32)
+    tx = tar_xy[..., 0].astype(jnp.float32)[:, None, :]  # (S, 1, M)
+    ty = tar_xy[..., 1].astype(jnp.float32)[:, None, :]
+    mask = jnp.where(tar_valid, 0.0, jnp.inf)[:, None, :].astype(jnp.float32)
+
+    nn, d2 = pl.pallas_call(
+        _nn_kernel,
+        grid=(s, m // _TS),
+        in_specs=[
+            pl.BlockSpec((_TS, 1), lambda i, j: (j, 0)),
+            pl.BlockSpec((_TS, 1), lambda i, j: (j, 0)),
+            pl.BlockSpec((None, 1, m), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, 1, m), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, 1, m), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, _TS, 1), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, _TS, 1), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((s, m, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((s, m, 1), jnp.float32)],
+        interpret=interpret,
+    )(sx, sy, tx, ty, mask)
+    return nn[..., 0], d2[..., 0]
+
+
+def supported(m: int) -> bool:
+    """The kernel requires the cell budget to tile evenly."""
+    return m % _TS == 0

@@ -229,27 +229,41 @@ def _tgt_from_attrs(g, cfg: CFEARConfig):
 
 
 def _associate_world(attrs, src: CellMap, src_pose, kf_valid, radius,
-                     cfg: CFEARConfig, cos_gate):
+                     cfg: CFEARConfig, cos_gate, method: str = "dense"):
     """Exact dense 1-NN association in the shared registration frame.
 
     Semantically identical to `associate(...)` with the dense backend
     (distances are invariant to the rigid change of frame), but the source
     scan is transformed once (not once per keyframe) and ALL per-target
     quantities come from a single (M, D) gather of the pre-packed world
-    attributes. Returns (Associations, target-terms dict)."""
+    attributes. With `method="pallas"` the distance+argmin runs as the fused
+    VMEM kernel (`ops/pallas_assoc.py`) instead of an HBM-materialized
+    distance matrix — identical nearest neighbors.
+    Returns (Associations, target-terms dict)."""
     reg = cfg.registration
     src_mean_w = se2.transform(src_pose, src.mean)            # (M, 2)
     src_norm_w = se2.rotate(src_pose, src.normal)
-    src_n2 = jnp.sum(src_mean_w ** 2, -1)
 
-    def per_kf(attr_i, kf_ok):
-        tmean = attr_i[:, 0:2]
-        cvalid = attr_i[:, 6] > 0.5
-        d2 = (src_n2[:, None] + jnp.sum(tmean ** 2, -1)[None, :]
-              - 2.0 * src_mean_w @ tmean.T)
-        d2 = jnp.where(cvalid[None, :], d2, jnp.inf)
-        nn = jnp.argmin(d2, axis=1)                           # (M,)
-        nn_d2 = jnp.min(d2, axis=1)        # = d2[nn] without the gather
+    if method == "pallas":
+        from cfear_radarodometry_code_public_tpu.ops import pallas_assoc
+        tar_valid = (attrs[..., 6] > 0.5) & kf_valid[:, None]
+        nn_all, d2_all = pallas_assoc.nn_min(
+            src_mean_w, attrs[..., 0:2], tar_valid,
+            interpret=jax.default_backend() == "cpu")
+    else:
+        src_n2 = jnp.sum(src_mean_w ** 2, -1)
+
+        def nn_kf(attr_i):
+            tmean = attr_i[:, 0:2]
+            cvalid = attr_i[:, 6] > 0.5
+            d2 = (src_n2[:, None] + jnp.sum(tmean ** 2, -1)[None, :]
+                  - 2.0 * src_mean_w @ tmean.T)
+            d2 = jnp.where(cvalid[None, :], d2, jnp.inf)
+            return jnp.argmin(d2, axis=1), jnp.min(d2, axis=1)
+
+        nn_all, d2_all = jax.vmap(nn_kf)(attrs)
+
+    def per_kf(attr_i, kf_ok, nn, nn_d2):
         g = attr_i[nn]                                        # ONE gather
         sim_dir = jnp.maximum(jnp.sum(src_norm_w * g[:, 2:4], -1), 0.0)
         ok = (src.valid & kf_ok & (g[:, 6] > 0.5)
@@ -259,7 +273,7 @@ def _associate_world(attrs, src: CellMap, src_pose, kf_valid, radius,
             src.planarity, g[:, 5])
         return nn.astype(jnp.int32), jnp.where(ok, w, 0.0), ok, g
 
-    nn, w, ok, g = jax.vmap(per_kf)(attrs, kf_valid)
+    nn, w, ok, g = jax.vmap(per_kf)(attrs, kf_valid, nn_all, d2_all)
     return Associations(nn, w, ok), _tgt_from_attrs(g, cfg)
 
 
@@ -538,8 +552,17 @@ def register(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, guess,
         soft_scale = jnp.asarray(0.0, dtype)
         soft_sqrt_info = None
 
-    fast_dense = reg.assoc_method == "dense"
-    if reg.assoc_method == "grid":
+    # association backend resolution: "auto" = the fused Pallas kernel on
+    # TPU, the dense XLA matmul+argmin on CPU (interpreter mode is only for
+    # equivalence tests); both produce identical nearest neighbors
+    method = reg.assoc_method
+    if method == "auto":
+        from cfear_radarodometry_code_public_tpu.ops import pallas_assoc
+        m_cells = src.valid.shape[0]
+        method = ("pallas" if jax.default_backend() != "cpu"
+                  and pallas_assoc.supported(m_cells) else "dense")
+    fast_dense = method in ("dense", "pallas")
+    if method == "grid":
         buckets = jax.vmap(lambda c: build_buckets(c, cfg))(kf_cells)
     else:
         buckets = None
@@ -552,7 +575,7 @@ def register(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, guess,
         radius = jnp.where(itr1 == 1, 2.0 * reg.assoc_radius, reg.assoc_radius)
         if fast_dense:
             assoc, tgt = _associate_world(attrs, src, st.pose, kf_valid,
-                                          radius, cfg, cos_gate)
+                                          radius, cfg, cos_gate, method)
         else:
             assoc = associate(kf_cells, kf_poses, kf_valid, src, st.pose,
                               radius, cfg, buckets)

@@ -270,3 +270,30 @@ def test_consistency_gate_and_service():
     # consistency rejects a wildly different result
     assert not bool(registration.is_consistent(
         jnp.asarray([5.0, 0.0, 0.0]), jnp.asarray([0.0, 0.0, 0.0])))
+
+
+def test_pallas_assoc_backend_matches_dense():
+    """The fused Pallas association kernel (interpreter mode on CPU) must
+    produce identical registrations to the dense XLA backend."""
+    rng = np.random.default_rng(7)
+    true = np.array([2.5, 0.8, 0.06])
+    xy, intens = _world_cloud(rng)
+    results = {}
+    for method in ("dense", "pallas"):
+        cfg = _cfg("P2L", "Huber", "Combined")
+        cfg = cfg.replace(registration=dataclasses.replace(
+            cfg.registration, assoc_method=method))
+        kf_poses_np = [np.zeros(3), np.array([1.5, 0.3, 0.04])]
+        kf_cells = _stack_keyframes(
+            [_cells_from_world(xy, intens, p, cfg) for p in kf_poses_np])
+        kf_poses = jnp.asarray(np.stack(kf_poses_np), jnp.float32)
+        kf_valid = jnp.ones(2, bool)
+        src = _cells_from_world(xy, intens, true, cfg)
+        guess = jnp.asarray(true + np.array([0.3, -0.2, 0.02]), jnp.float32)
+        results[method] = registration.register(
+            kf_cells, kf_poses, kf_valid, src, guess, cfg=cfg)
+    assert bool(results["pallas"].success)
+    np.testing.assert_allclose(np.asarray(results["dense"].pose),
+                               np.asarray(results["pallas"].pose), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(results["dense"].num_assoc),
+                                  np.asarray(results["pallas"].num_assoc))
