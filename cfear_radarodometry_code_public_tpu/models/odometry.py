@@ -263,7 +263,7 @@ class OdometryRunner:
         there. `ingest="host"`: the native data plane runs the k-strongest
         filter on host CPU threads and only the (A, K) candidate sets cross
         the host->device link (identical results; much less link traffic)."""
-        if ingest == "host" and cfg.filter.method != "kstrongest":
+        if ingest == "host" and cfg.filter.method != "kstrong":
             ingest = "image"      # CA-CFAR runs on device only
         self.cfg = cfg
         self.chunk = chunk

@@ -74,7 +74,7 @@ class MultiSequenceRunner:
 
     def __init__(self, cfg: CFEARConfig, batch: int, mesh: Optional[Mesh] = None,
                  chunk: int = 16, ingest: str = "image"):
-        if ingest == "host" and cfg.filter.method != "kstrongest":
+        if ingest == "host" and cfg.filter.method != "kstrong":
             ingest = "image"
         self.cfg = cfg
         self.chunk = chunk
