@@ -156,9 +156,10 @@ def main():
 
     q = queue.Queue(maxsize=3)
     th = threading.Thread(target=feeder, args=(q,), daemon=True)
-    t0 = time.time()
     th.start()
+    rep_fps = []
     for _ in range(args.repeats):
+        t0 = time.time()
         state = state0
         outs = []
         while True:
@@ -170,19 +171,26 @@ def main():
         # one stacked fetch per repeat (dispatch stays async across chunks;
         # per-chunk host fetches would pay the tunnel RTT 12x per repeat)
         np.asarray(jnp.stack(outs))
-    dt = time.time() - t0
+        rep_fps.append(n_timed / (time.time() - t0))
     th.join()
-    fps = args.repeats * n_timed / dt
-    print(f"single-sequence pipeline: {args.repeats * n_timed} frames in "
-          f"{dt:.2f}s ({fps:.1f} fps)", file=sys.stderr)
+    # median over repeats: the remote-TPU tunnel has multi-second hiccups
+    # that would otherwise dominate a pooled mean
+    fps = float(np.median(rep_fps))
+    print(f"single-sequence pipeline: {args.repeats} x {n_timed} frames, "
+          f"per-repeat fps {[round(f, 1) for f in rep_fps]} "
+          f"-> median {fps:.1f} fps", file=sys.stderr)
 
     if args.batch:
         b = args.batch
-        step = odometry.make_step(cfg, kind)
+        # hand-batched step: ONE lane-offset scatter per stage for all lanes
+        # (vmap(step) serializes scatters/gathers per lane — measured flat
+        # ~230 fps/chip regardless of batch width before this path existed)
+        stepb = odometry.make_batched_step(cfg, kind)
 
         @jax.jit
         def run_chunk_b(states, ins):
-            return jax.vmap(lambda s, x: jax.lax.scan(step, s, x))(states, ins)
+            xs = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), ins)
+            return jax.lax.scan(stepb, states, xs)
 
         states0 = jax.vmap(lambda _: odometry.init_state(cfg))(jnp.arange(b))
         states0, _ = jax.jit(jax.vmap(odometry.make_bootstrap(cfg, kind)))(
@@ -197,15 +205,17 @@ def main():
         states, outb = run_chunk_b(states0, blocks[0])
         np.asarray(outb.pose)
         print(f"batched compile: {time.time() - t0:.1f}s", file=sys.stderr)
-        t0 = time.time()
-        states = states0
-        for blk in blocks:
-            states, outb = run_chunk_b(states, blk)
-        np.asarray(outb.pose)
-        dtb = time.time() - t0
-        fps_b = b * n_timed / dtb
-        print(f"batched x{b}: {b * n_timed} frames in {dtb:.2f}s "
-              f"({fps_b:.1f} fps/chip)", file=sys.stderr)
+        rep = []
+        for _ in range(args.repeats):
+            t0 = time.time()
+            states = states0
+            for blk in blocks:
+                states, outb = run_chunk_b(states, blk)
+            np.asarray(outb.pose)
+            rep.append(b * n_timed / (time.time() - t0))
+        fps_b = float(np.median(rep))
+        print(f"batched x{b}: per-repeat fps {[round(f, 1) for f in rep]} "
+              f"-> median {fps_b:.1f} fps/chip", file=sys.stderr)
         fps = max(fps, fps_b)
 
     if args.check_drift:

@@ -150,70 +150,106 @@ def make_bootstrap(cfg: CFEARConfig, ingest: str = "image"):
     return bootstrap
 
 
+def _fuse_frame(state: OdometryState, cells: CellMap, cfg: CFEARConfig
+                ) -> tuple[OdometryState, FrameOutput]:
+    """Back half of the per-frame pipeline: register the extracted cells
+    against the keyframe window, apply sanity gates, fuse keyframes."""
+    odo = cfg.odometry
+    rot_gate = math.radians(odo.keyframe_min_rot_deg)
+    dt = cfg.radar.sensor_period
+    guess = se2.compose(state.t_prev, state.tmot) if odo.use_guess \
+        else state.t_prev
+
+    res = registration.register(
+        state.kf_cells, state.kf_poses, state.kf_valid, cells, guess,
+        cfg=cfg)
+    t_cur = jnp.where(res.success, res.pose, guess)
+    # velocity / acceleration sanity fallback
+    # (`odometrykeyframefuser.cpp:76-94,197-199`)
+    tmot_cur = se2.relative(state.t_prev, t_cur)
+    vel = jnp.linalg.norm(tmot_cur[:2]) / dt
+    acc = jnp.linalg.norm(tmot_cur[:2] - state.tmot[:2]) / (dt * dt)
+    sane = (vel <= odo.vel_limit) & (acc <= odo.acc_limit)
+    t_cur = jnp.where(sane, t_cur, guess)
+    tmot = se2.relative(state.t_prev, t_cur)
+
+    cov = res.cov
+    if odo.estimate_cov_by_sampling:
+        # (`odometrykeyframefuser.cpp:203-208`): use the sampled
+        # covariance when the quadratic fit is convex
+        cov_s, convex = registration.sample_covariance(
+            state.kf_cells, state.kf_poses, state.kf_valid, cells,
+            t_cur, cfg)
+        cov = jnp.where(convex, cov_s, cov)
+
+    keydiff = se2.relative(state.kf_poses[-1], t_cur)
+    fuse = (jnp.linalg.norm(keydiff[:2]) > odo.keyframe_min_dist) \
+        | (jnp.abs(se2.normalize_angle(keydiff[2])) > rot_gate)
+    fuse = fuse | jnp.logical_not(odo.use_keyframe)
+    fuse = fuse & res.success
+
+    kfc, kfp, kfv = _push_keyframe(state, cells, t_cur)
+    fused_state = state._replace(
+        kf_cells=kfc, kf_poses=kfp, kf_valid=kfv,
+        t_prev=jnp.zeros((3,), guess.dtype),   # rebased
+        tmot=tmot,
+        distance=state.distance + jnp.linalg.norm(keydiff[:2]),
+        frame_nr=state.frame_nr + 1,
+        kf_count=state.kf_count + 1)
+    plain_state = state._replace(
+        t_prev=t_cur, tmot=tmot, frame_nr=state.frame_nr + 1)
+    new_state = _tree_select(fuse, fused_state, plain_state)
+    out = FrameOutput(
+        pose=t_cur,
+        shift=jnp.where(fuse, t_cur, jnp.zeros_like(t_cur)),
+        fused=fuse, cov=cov, success=res.success,
+        score=res.score, num_assoc=res.num_assoc, num_cells=cells.n,
+        reg_iterations=res.iterations)
+    return new_state, out
+
+
 def make_step(cfg: CFEARConfig, ingest: str = "image"):
     """Build the jittable per-frame step function for a config.
 
     The state MUST be initialized (make_bootstrap) before stepping."""
-    odo = cfg.odometry
-    rot_gate = math.radians(odo.keyframe_min_rot_deg)
-    dt = cfg.radar.sensor_period
 
     def step(state: OdometryState, image) -> tuple[OdometryState, FrameOutput]:
         cells = _extract_cells(state, image, cfg, ingest)
-        guess = se2.compose(state.t_prev, state.tmot) if odo.use_guess \
-            else state.t_prev
-
-        def normal(_):
-            res = registration.register(
-                state.kf_cells, state.kf_poses, state.kf_valid, cells, guess,
-                cfg=cfg)
-            t_cur = jnp.where(res.success, res.pose, guess)
-            # velocity / acceleration sanity fallback
-            # (`odometrykeyframefuser.cpp:76-94,197-199`)
-            tmot_cur = se2.relative(state.t_prev, t_cur)
-            vel = jnp.linalg.norm(tmot_cur[:2]) / dt
-            acc = jnp.linalg.norm(tmot_cur[:2] - state.tmot[:2]) / (dt * dt)
-            sane = (vel <= odo.vel_limit) & (acc <= odo.acc_limit)
-            t_cur = jnp.where(sane, t_cur, guess)
-            tmot = se2.relative(state.t_prev, t_cur)
-
-            cov = res.cov
-            if odo.estimate_cov_by_sampling:
-                # (`odometrykeyframefuser.cpp:203-208`): use the sampled
-                # covariance when the quadratic fit is convex
-                cov_s, convex = registration.sample_covariance(
-                    state.kf_cells, state.kf_poses, state.kf_valid, cells,
-                    t_cur, cfg)
-                cov = jnp.where(convex, cov_s, cov)
-
-            keydiff = se2.relative(state.kf_poses[-1], t_cur)
-            fuse = (jnp.linalg.norm(keydiff[:2]) > odo.keyframe_min_dist) \
-                | (jnp.abs(se2.normalize_angle(keydiff[2])) > rot_gate)
-            fuse = fuse | jnp.logical_not(odo.use_keyframe)
-            fuse = fuse & res.success
-
-            kfc, kfp, kfv = _push_keyframe(state, cells, t_cur)
-            fused_state = state._replace(
-                kf_cells=kfc, kf_poses=kfp, kf_valid=kfv,
-                t_prev=jnp.zeros((3,), guess.dtype),   # rebased
-                tmot=tmot,
-                distance=state.distance + jnp.linalg.norm(keydiff[:2]),
-                frame_nr=state.frame_nr + 1,
-                kf_count=state.kf_count + 1)
-            plain_state = state._replace(
-                t_prev=t_cur, tmot=tmot, frame_nr=state.frame_nr + 1)
-            new_state = _tree_select(fuse, fused_state, plain_state)
-            out = FrameOutput(
-                pose=t_cur,
-                shift=jnp.where(fuse, t_cur, jnp.zeros_like(t_cur)),
-                fused=fuse, cov=cov, success=res.success,
-                score=res.score, num_assoc=res.num_assoc, num_cells=cells.n,
-                reg_iterations=res.iterations)
-            return new_state, out
-
-        return normal(None)
+        return _fuse_frame(state, cells, cfg)
 
     return step
+
+
+def make_batched_step(cfg: CFEARConfig, ingest: str = "image"):
+    """Per-frame step over a BATCH of sequences: semantically identical to
+    `jax.vmap(make_step(cfg, ingest))`, but the feature stage runs the
+    hand-batched `compute_cells_batched` — XLA serializes vmapped
+    scatters/gathers lane by lane, which flattens batched throughput (the
+    bash process fleet of SURVEY.md §2.3 maps to many sequences per chip,
+    so the batched step IS the throughput path)."""
+    from cfear_radarodometry_code_public_tpu.ops import filtering
+
+    def stepb(states: OdometryState, inputs
+              ) -> tuple[OdometryState, FrameOutput]:
+        if ingest == "candidates":
+            pts = jax.vmap(
+                lambda c: filtering.points_from_candidates(c, cfg))(inputs)
+        else:
+            pts = jax.vmap(
+                lambda im: filtering.filter_polar_image(im, cfg))(inputs)
+        if cfg.odometry.compensate:
+            xy = jax.vmap(
+                lambda p, t: se2.compensate_points(p, t, cfg.radar.ccw))(
+                    pts.xy, states.tmot)
+            pts = pts._replace(xy=xy)
+        if cfg.feature.use_raw_pointcloud:
+            cells = jax.vmap(
+                lambda p: features.compute_raw_cells(p, cfg))(pts)
+        else:
+            cells = features.compute_cells_batched(pts, cfg)
+        return jax.vmap(lambda s, c: _fuse_frame(s, c, cfg))(states, cells)
+
+    return stepb
 
 
 def make_chunk_runner(cfg: CFEARConfig, ingest: str = "image"):

@@ -84,25 +84,44 @@ def _eig2x2_min(a, b, c):
 
 def compute_cells(points: PointCloud, cfg: CFEARConfig) -> CellMap:
     """Point cloud -> oriented surface points (sensor-local frame)."""
+    batched = compute_cells_batched(
+        jax.tree.map(lambda a: a[None], points), cfg)
+    return jax.tree.map(lambda a: a[0], batched)
+
+
+def compute_cells_batched(points: PointCloud, cfg: CFEARConfig) -> CellMap:
+    """Batched oriented-surface-point extraction: leaves carry (B, N, ...).
+
+    Identical per-lane results to `jax.vmap(compute_cells)`, but all lanes
+    share ONE segment_sum per stage (segment ids offset by lane*ncells) and
+    ONE neighborhood gather — XLA serializes vmapped scatters/gathers per
+    lane, which flattens batched throughput (measured: vmap x8 costs ~8x a
+    single frame; this formulation keeps the scatter's flat ~0.37 ms cost).
+    """
     feat = cfg.feature
     leaf, dim, noff = _grid_geometry(cfg)
     ncells = dim * dim
-    xy = points.xy
-    n_pts = xy.shape[0]
-    valid = points.valid
+    xy = points.xy                                            # (B, N, 2)
+    b, n_pts = xy.shape[0], xy.shape[1]
+    valid = points.valid                                      # (B, N)
+    lane = jnp.arange(b, dtype=jnp.int32)[:, None]            # (B, 1)
 
     # --- stage 1: voxel centroids (unweighted, like pcl::VoxelGrid) ---
     vidx = jnp.floor(xy / leaf).astype(jnp.int32) + dim // 2
     in_grid = valid & jnp.all((vidx >= 0) & (vidx < dim), axis=-1)
-    vid = jnp.where(in_grid, vidx[:, 0] * dim + vidx[:, 1], ncells)  # overflow slot
+    vid = vidx[..., 0] * dim + vidx[..., 1]                   # (B, N)
+    # lane-offset flat segment ids; one shared overflow slot at b*ncells
+    vid_flat = jnp.where(in_grid, lane * ncells + vid, b * ncells)
     ones = in_grid.astype(jnp.float32)
     # one fused scatter for [count, sum_x, sum_y] (scatter cost is a flat
     # ~0.37 ms on this TPU regardless of width — never scatter twice)
     s1 = jax.ops.segment_sum(
-        jnp.concatenate([ones[:, None], xy * ones[:, None]], -1), vid,
-        num_segments=ncells + 1)[:ncells]
-    cnt_vox, sum_vox = s1[:, 0], s1[:, 1:3]
-    centroid = sum_vox / jnp.maximum(cnt_vox, 1.0)[:, None]
+        jnp.concatenate([ones[..., None], xy * ones[..., None]],
+                        -1).reshape(b * n_pts, 3),
+        vid_flat.reshape(b * n_pts),
+        num_segments=b * ncells + 1)[:b * ncells].reshape(b, ncells, 3)
+    cnt_vox, sum_vox = s1[..., 0], s1[..., 1:3]               # (B, ncells, .)
+    centroid = sum_vox / jnp.maximum(cnt_vox, 1.0)[..., None]
     occupied = cnt_vox >= 1.0
 
     # --- stage 2: weighted moments per candidate cell ---
@@ -115,57 +134,78 @@ def compute_cells(points: PointCloud, cfg: CFEARConfig) -> CellMap:
                for dy in range(-noff, noff + 1)]
     # Pre-pack each voxel's neighborhood (centroid x/y + occupancy per
     # offset) with dense rolls so the per-offset loop below needs NO gathers
-    # — ONE (N, 3*n_off) gather replaces 3 gathers per offset (dynamic
+    # — ONE (B*N, 3*n_off) gather replaces 3 gathers per offset (dynamic
     # gathers are the slow op on this TPU; the rolls and the scatter are
     # cheap). Rolled wrap-around entries are masked by the `ok` bounds test.
     cgrid = jnp.concatenate(
-        [centroid.reshape(dim, dim, 2),
-         occupied.reshape(dim, dim, 1).astype(jnp.float32)], -1)
+        [centroid.reshape(b, dim, dim, 2),
+         occupied.reshape(b, dim, dim, 1).astype(jnp.float32)], -1)
     nb = jnp.concatenate(
-        [jnp.roll(cgrid, (-dx, -dy), (0, 1)) for dx, dy in offsets], -1)
-    vid_c = jnp.clip(vid, 0, ncells - 1)
-    nb_pt = nb.reshape(ncells, 3 * len(offsets))[vid_c]       # (N, 27)
+        [jnp.roll(cgrid, (-dx, -dy), (1, 2)) for dx, dy in offsets], -1)
+    vid_c = jnp.clip(jnp.where(in_grid, vid, ncells), 0, ncells - 1)
+    nb_pt = nb.reshape(b * ncells, 3 * len(offsets))[
+        (lane * ncells + vid_c).reshape(b * n_pts)]           # (B*N, 27)
+    nb_pt = nb_pt.reshape(b, n_pts, 3 * len(offsets))
 
-    tgt_ids = []
-    members = []
-    rels = []
+    # Per-offset membership masks (per-point circular gate vs the TARGET
+    # voxel's centroid). The scatter itself targets each point's OWN voxel:
+    # for a fixed offset the target id is own_id + const, so the per-offset
+    # scatter result equals the own-voxel scatter ROLLED by the offset on the
+    # dense grid — ONE (B*N)-row scatter with 9x7 masked columns replaces the
+    # (9*B*N)-row scatter (scatter cost is row-bound on this TPU). Moments
+    # are accumulated about the OWN voxel center and shifted to the target
+    # center in closed form afterwards (rel_t = rel_own - offset*leaf).
+    own_cx = (vidx[..., 0].astype(jnp.float32) - dim // 2 + 0.5) * leaf
+    own_cy = (vidx[..., 1].astype(jnp.float32) - dim // 2 + 0.5) * leaf
+    rx = xy[..., 0] - own_cx                              # (B, N)
+    ry = xy[..., 1] - own_cy
+    base = jnp.stack(
+        [jnp.ones_like(w_pt),           # raw sample count
+         w_pt,                          # S0
+         w_pt * rx, w_pt * ry,          # S1 (own-center coordinates)
+         w_pt * rx * rx, w_pt * rx * ry, w_pt * ry * ry],  # S2
+        axis=-1)                                          # (B, N, 7)
+
+    mem_cols = []
     for oi, (dx, dy) in enumerate(offsets):
-        tx = vidx[:, 0] + dx
-        ty = vidx[:, 1] + dy
+        tx = vidx[..., 0] + dx
+        ty = vidx[..., 1] + dy
         ok = in_grid & (tx >= 0) & (tx < dim) & (ty >= 0) & (ty < dim)
-        tid = jnp.where(ok, tx * dim + ty, ncells)
-        c = nb_pt[:, 3 * oi:3 * oi + 2]
-        occ = nb_pt[:, 3 * oi + 2] > 0.5
+        c = nb_pt[..., 3 * oi:3 * oi + 2]
+        occ = nb_pt[..., 3 * oi + 2] > 0.5
         d2 = jnp.sum((xy - c) ** 2, axis=-1)
-        member = ok & occ & (d2 <= feat.res * feat.res)
-        # voxel center of the target cell, computed arithmetically
-        vcx = (tx.astype(jnp.float32) - dim // 2 + 0.5) * leaf
-        vcy = (ty.astype(jnp.float32) - dim // 2 + 0.5) * leaf
-        rel = xy - jnp.stack([vcx, vcy], -1)
-        tgt_ids.append(jnp.where(member, tid, ncells))
-        members.append(member)
-        rels.append(rel)
+        mem_cols.append(ok & occ & (d2 <= feat.res * feat.res))
+    mem = jnp.stack(mem_cols, -1).astype(jnp.float32)     # (B, N, n_off)
 
-    tid_all = jnp.concatenate(tgt_ids)                    # (n_off * N,)
-    mem_all = jnp.concatenate(members).astype(jnp.float32)
-    rel_all = jnp.concatenate(rels)
-    w_all = jnp.tile(w_pt, len(offsets)) * mem_all
+    data = (mem[..., :, None] * base[..., None, :]).reshape(
+        b, n_pts, len(offsets) * 7)
+    acc_own = jax.ops.segment_sum(
+        data.reshape(b * n_pts, -1), vid_flat.reshape(b * n_pts),
+        num_segments=b * ncells + 1)[:b * ncells].reshape(
+            b, dim, dim, len(offsets), 7)
 
-    rx, ry = rel_all[:, 0], rel_all[:, 1]
-    data = jnp.stack(
-        [mem_all,                       # raw sample count
-         w_all,                         # S0
-         w_all * rx, w_all * ry,        # S1
-         w_all * rx * rx, w_all * rx * ry, w_all * ry * ry],  # S2
-        axis=-1)
-    acc = jax.ops.segment_sum(data, tid_all, num_segments=ncells + 1)[:ncells]
-    nsamp, s0 = acc[:, 0], acc[:, 1]
+    # roll each offset's grid onto its target voxel and shift the moment
+    # origin from the own center to the target center (d = offset * leaf)
+    acc = jnp.zeros((b, dim, dim, 7), jnp.float32)
+    for oi, (dx, dy) in enumerate(offsets):
+        g = jnp.roll(acc_own[..., oi, :], (dx, dy), (1, 2))
+        dxl, dyl = dx * leaf, dy * leaf
+        cnt, s0_, s1x, s1y, sxx, sxy, syy = [g[..., i] for i in range(7)]
+        acc = acc + jnp.stack(
+            [cnt, s0_,
+             s1x - dxl * s0_,
+             s1y - dyl * s0_,
+             sxx - 2.0 * dxl * s1x + dxl * dxl * s0_,
+             sxy - dxl * s1y - dyl * s1x + dxl * dyl * s0_,
+             syy - 2.0 * dyl * s1y + dyl * dyl * s0_], -1)
+    acc = acc.reshape(b, ncells, 7)
+    nsamp, s0 = acc[..., 0], acc[..., 1]
 
     safe_s0 = jnp.maximum(s0, 1e-12)
-    mx, my = acc[:, 2] / safe_s0, acc[:, 3] / safe_s0
-    cxx = acc[:, 4] / safe_s0 - mx * mx
-    cxy = acc[:, 5] / safe_s0 - mx * my
-    cyy = acc[:, 6] / safe_s0 - my * my
+    mx, my = acc[..., 2] / safe_s0, acc[..., 3] / safe_s0
+    cxx = acc[..., 4] / safe_s0 - mx * mx
+    cxy = acc[..., 5] / safe_s0 - mx * my
+    cyy = acc[..., 6] / safe_s0 - my * my
 
     # static voxel centers (constants folded by XLA)
     ii = jnp.arange(dim, dtype=jnp.float32) - dim // 2 + 0.5
@@ -188,21 +228,26 @@ def compute_cells(points: PointCloud, cfg: CFEARConfig) -> CellMap:
     mean = jnp.stack([mx + vc_x, my + vc_y], -1)
     # flip normal toward the sensor origin (`pointnormal.cpp:59-61`)
     flip = jnp.sum(nvec * (0.0 - mean), -1) < 0.0
-    nvec = jnp.where(flip[:, None], -nvec, nvec)
+    nvec = jnp.where(flip[..., None], -nvec, nvec)
     planarity = jnp.log1p(cond / 2.0)
 
     # --- compaction to the fixed cell budget ---
     m = feat.max_cells
-    order = jnp.argsort(~cell_ok, stable=True)            # valid cells first
-    take = order[:m]
-    kept_valid = cell_ok[take]
+    order = jnp.argsort(~cell_ok, axis=-1, stable=True)   # valid cells first
+    take = order[..., :m]                                 # (B, m)
+
+    def take1(a):
+        idx = take.reshape(take.shape + (1,) * (a.ndim - 2))
+        return jnp.take_along_axis(a, idx, axis=1)
+
+    kept_valid = take1(cell_ok)
     cov = jnp.stack([jnp.stack([cxx, cxy], -1), jnp.stack([cxy, cyy], -1)], -2)
     return CellMap(
-        mean=jnp.where(kept_valid[:, None], mean[take], 0.0),
-        normal=jnp.where(kept_valid[:, None], nvec[take], 0.0),
-        cov=jnp.where(kept_valid[:, None, None], cov[take], 0.0),
-        nsamples=jnp.where(kept_valid, nsamp[take], 0.0),
-        planarity=jnp.where(kept_valid, planarity[take], 0.0),
+        mean=jnp.where(kept_valid[..., None], take1(mean), 0.0),
+        normal=jnp.where(kept_valid[..., None], take1(nvec), 0.0),
+        cov=jnp.where(kept_valid[..., None, None], take1(cov), 0.0),
+        nsamples=jnp.where(kept_valid, take1(nsamp), 0.0),
+        planarity=jnp.where(kept_valid, take1(planarity), 0.0),
         valid=kept_valid,
     )
 

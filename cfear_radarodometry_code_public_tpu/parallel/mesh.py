@@ -35,11 +35,18 @@ def make_batched_runner(cfg: CFEARConfig, mesh: Mesh, axis: str = "data",
     """Build (init_fn, step_chunk_fn) for a sharded batch of sequences.
 
     States and frame chunks carry a leading batch axis sharded over `axis`;
-    each call scans a chunk of frames for every sequence in the batch.
-    `ingest="candidates"` consumes host-filtered candidate sets
-    (`native_io.filter_frames_host`) instead of raw images.
+    each call scans a chunk of frames for every sequence in the batch. The
+    per-frame work runs as `make_batched_step` under `shard_map`: each device
+    scans its local sub-batch with the hand-batched feature stage (one
+    lane-offset scatter for all local lanes — XLA serializes vmapped
+    scatters, and GSPMD cannot prove the flattened segment ids are
+    shard-local, so explicit shard_map is both the fastest and the only
+    partitioning that stays collective-free). `ingest="candidates"` consumes
+    host-filtered candidate sets (`native_io.filter_frames_host`).
     """
-    step = odometry.make_step(cfg, ingest)
+    from jax.experimental.shard_map import shard_map
+
+    stepb = odometry.make_batched_step(cfg, ingest)
     bootstrap = odometry.make_bootstrap(cfg, ingest)
 
     def shard_batch(tree):
@@ -57,14 +64,22 @@ def make_batched_runner(cfg: CFEARConfig, mesh: Mesh, axis: str = "data",
         """(B, ...) states + (B, A, R) first frames -> initialized states."""
         return jax.vmap(bootstrap)(states, first_images)
 
+    def _chunk_local(states, xs):
+        """Per-shard: scan the local sub-batch over the chunk's frames."""
+        return jax.lax.scan(stepb, states, xs)
+
+    chunk_sharded = shard_map(
+        _chunk_local, mesh=mesh,
+        in_specs=(P(axis), P(None, axis)),
+        out_specs=(P(axis), P(None, axis)),
+        check_rep=False)
+
     @jax.jit
     def step_chunk(states, images):
         """states: (B, ...) sharded; images: (B, T, A, R) -> outputs (B, T, ...)."""
-
-        def scan_one(state, imgs):
-            return jax.lax.scan(step, state, imgs)
-
-        return jax.vmap(scan_one)(states, images)
+        xs = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), images)
+        states, out = chunk_sharded(states, xs)
+        return states, jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), out)
 
     return init_fn, step_chunk, shard_batch, bootstrap_batch
 

@@ -141,3 +141,26 @@ def test_compensate_cells_identity():
     out = features.compensate_cells(cells, jnp.zeros(3), ccw=False)
     np.testing.assert_allclose(np.asarray(out.mean), np.asarray(cells.mean),
                                atol=1e-6)
+
+
+def test_compute_cells_batched_matches_per_lane():
+    """The hand-batched feature stage (one lane-offset scatter for all
+    lanes) must match per-lane compute_cells exactly."""
+    import jax
+
+    rng = np.random.default_rng(9)
+    cfg = _cfg()
+    clouds = []
+    for s in range(3):
+        n = 300 + 40 * s
+        xy = rng.uniform(-40, 40, (n, 2))
+        intens = rng.uniform(70, 220, n)
+        clouds.append(_cloud(xy, intens))
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *clouds)
+    got = features.compute_cells_batched(batch, cfg)
+    for i, c in enumerate(clouds):
+        ref = features.compute_cells(c, cfg)
+        for f in ref._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, f)[i]), np.asarray(getattr(ref, f)),
+                atol=1e-5, err_msg=f"lane {i} field {f}")

@@ -99,3 +99,34 @@ def test_drift_metric_on_long_sequence():
     assert res["n_subsequences"] > 5
     # coarse synthetic sensor (0.175 m bins, k=12): guard against regression
     assert res["t_err_percent"] < 3.0, res
+
+
+def test_batched_step_matches_single_steps():
+    """make_batched_step (hand-batched feature stage) == per-lane make_step."""
+    import jax
+
+    cfg = _cfg()
+    b, t = 3, 6
+    seqs = [synthetic.make_sequence(seed=40 + s, n_frames=t, cfg=cfg)[0]
+            for s in range(b)]
+    step = jax.jit(odometry.make_step(cfg))
+    boot = jax.jit(odometry.make_bootstrap(cfg))
+    stepb = jax.jit(odometry.make_batched_step(cfg))
+
+    states, poses_ref = [], []
+    for s in range(b):
+        st, _ = boot(odometry.init_state(cfg), jnp.asarray(seqs[s][0]))
+        states.append(st)
+    stb = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    for i in range(1, t):
+        frames = jnp.stack([jnp.asarray(seqs[s][i]) for s in range(b)])
+        stb, outb = stepb(stb, frames)
+        for s in range(b):
+            states[s], out1 = step(states[s], frames[s])
+            np.testing.assert_allclose(np.asarray(outb.pose[s]),
+                                       np.asarray(out1.pose), atol=1e-5)
+            assert bool(outb.fused[s]) == bool(out1.fused)
+    for s in range(b):
+        np.testing.assert_allclose(np.asarray(stb.t_prev[s]),
+                                   np.asarray(states[s].t_prev), atol=1e-5)
