@@ -103,9 +103,9 @@ class RegistrationConfig:
     # long on programs embedding the kernel inside scan/while; off by default
     use_fused_lm: bool = False
     # unroll the LM and outer association loops into straight-line masked
-    # code: identical results, no loop-sync overhead, no vmap lockstep on
-    # TPU — but always pays max iterations, so slower on CPU (default off;
-    # bench.py enables it for TPU runs)
+    # code: identical results, no loop-sync overhead — but always pays max
+    # iterations, which measured SLOWER than the while-loops on both CPU and
+    # TPU (LM iterations are cheap; kept for ablation)
     unroll_solver: bool = False
 
 

@@ -266,9 +266,13 @@ namespace {
 void filter_rows(const uint8_t* images, int64_t n_rows, int64_t r, int k,
                  int z_min, int w, int16_t* out_bins, uint8_t* out_intens,
                  uint8_t* out_peaks, int64_t row_begin, int64_t row_end) {
-  // O(R) per row: incremental sliding-window NMS score, histogram-threshold
-  // top-k selection, local-max test only at the <= k selected bins.
+  // O(R) per row: incremental sliding-window NMS score fused with candidate
+  // (I >= z_min) collection; histogram-threshold top-k over the CANDIDATES
+  // only (usually far fewer than R bins clear the noise floor); local-max
+  // test only at the <= k selected bins.
   std::vector<int32_t> score(r);
+  std::vector<int32_t> cand;
+  cand.reserve(r);
   std::vector<int32_t> keys;
   keys.reserve(k);
   std::vector<int16_t> tie_bins(k > 0 ? k : 1);
@@ -277,20 +281,24 @@ void filter_rows(const uint8_t* images, int64_t n_rows, int64_t r, int k,
   const int zc = z_min < 0 ? 0 : (z_min > 256 ? 256 : z_min);
   for (int64_t row = row_begin; row < row_end; ++row) {
     const uint8_t* img = images + row * r;
-    // NMS score: sum of raw intensities over [b-w, b+w], zero-padded
+    // NMS score (sum of raw intensities over [b-w, b+w], zero-padded) and
+    // candidate bins in one pass
+    cand.clear();
     {
       int32_t s = 0;
       for (int64_t j = 0; j <= w && j < r; ++j) s += img[j];
       score[0] = s;
+      if (img[0] >= zc) cand.push_back(0);
       for (int64_t b = 1; b < r; ++b) {
         if (b + w < r) s += img[b + w];
         if (b - w - 1 >= 0) s -= img[b - w - 1];
         score[b] = s;
+        if (img[b] >= zc) cand.push_back(static_cast<int32_t>(b));
       }
     }
-    // intensity histogram of candidates (I >= z_min)
+    // intensity histogram of the candidates
     int32_t hist[257] = {0};
-    for (int64_t b = 0; b < r; ++b) hist[img[b]]++;
+    for (int32_t b : cand) hist[img[b]]++;
     int32_t n_above = 0;  // candidates with intensity strictly above vt
     int vt = 256;
     {
@@ -306,11 +314,12 @@ void filter_rows(const uint8_t* images, int64_t n_rows, int64_t r, int k,
     // descending-bin order (the reference tie-break keeps larger bins)
     keys.clear();
     int n_tie = 0;
-    for (int64_t b = r - 1; b >= 0; --b) {
+    for (auto it = cand.rbegin(); it != cand.rend(); ++it) {
+      int32_t b = *it;
       int v = img[b];
-      if (v > vt && v >= zc) {
-        keys.push_back(v * shift + static_cast<int32_t>(b));
-      } else if (v == vt && v >= zc && n_tie < take_at_vt) {
+      if (v > vt) {
+        keys.push_back(v * shift + b);
+      } else if (v == vt && n_tie < take_at_vt) {
         tie_bins[n_tie++] = static_cast<int16_t>(b);
       }
     }

@@ -9,8 +9,10 @@ by timing, per stage, the single-frame function and its vmap over B lanes:
 Usage:  python tools/profile_stages.py [--batch 8] [--iters 50]
 
 Timing is synced via host transfer (np.asarray) because block_until_ready
-under-waits on the axon backend; each timed loop chains the output into the
-next iteration's input so dispatch cannot run ahead.
+under-waits on the axon backend. Measurements are THROUGHPUT per call
+(iters async dispatches, one scalar sync at the end); absolute values
+include ~0.8 ms/call dispatch overhead through the tunnel, so compare
+ratios, and trust bench.py (chunked scans) for end-to-end numbers.
 """
 
 import argparse
@@ -24,6 +26,8 @@ import numpy as np
 
 
 def timeit(fn, args, iters, sync):
+    """sync must fetch only a few bytes — the tunnel runs ~25 MB/s, so
+    fetching a full output block would dominate the measurement."""
     out = fn(*args)
     sync(out)
     t0 = time.time()
@@ -31,6 +35,11 @@ def timeit(fn, args, iters, sync):
         out = fn(*args)
     sync(out)
     return (time.time() - t0) / iters * 1e3
+
+
+def scalar_of(x):
+    """Fetch a single element of an arbitrarily-shaped array."""
+    return np.asarray(x.ravel()[:1])
 
 
 def main():
@@ -74,8 +83,8 @@ def main():
     feat1 = jax.jit(feat)
     featb = jax.jit(jax.vmap(feat))
 
-    ms1 = timeit(feat1, (c0,), args.iters, lambda o: np.asarray(o.mean))
-    msb = timeit(featb, (cb,), args.iters, lambda o: np.asarray(o.mean))
+    ms1 = timeit(feat1, (c0,), args.iters, lambda o: scalar_of(o.mean))
+    msb = timeit(featb, (cb,), args.iters, lambda o: scalar_of(o.mean))
     print(f"features   single {ms1:7.3f} ms   vmap x{b} {msb:7.3f} ms "
           f"({msb / ms1:.2f}x single; ideal 1.0x, serial {b:.1f}x)")
 
@@ -84,7 +93,7 @@ def main():
         return features.compute_cells_batched(pts, cfg)
 
     msbb = timeit(jax.jit(featbb), (cb,), args.iters,
-                  lambda o: np.asarray(o.mean))
+                  lambda o: scalar_of(o.mean))
     print(f"features   batched x{b} {msbb:7.3f} ms ({msbb / ms1:.2f}x single)")
 
     # --- registration stage ------------------------------------------------
@@ -110,11 +119,22 @@ def main():
     gb = jnp.broadcast_to(guess, (b, 3))
 
     ms1 = timeit(reg1, (kf_cells, kf_poses, kf_valid, cells0, guess),
-                 args.iters, lambda o: np.asarray(o.pose))
+                 args.iters, lambda o: scalar_of(o.pose))
     msb = timeit(regb, (kcb, kpb, kvb, srcb, gb), args.iters,
-                 lambda o: np.asarray(o.pose))
+                 lambda o: scalar_of(o.pose))
     print(f"register   single {ms1:7.3f} ms   vmap x{b} {msb:7.3f} ms "
           f"({msb / ms1:.2f}x single)")
+
+    # attribution: how much of register is LM while-loop iterations?
+    import dataclasses
+    for cap in (5, 2):
+        cfg_cap = cfg.replace(registration=dataclasses.replace(
+            cfg.registration, max_itr_solver=cap))
+        mc = timeit(jax.jit(lambda kc, kp, kv, src, g, c=cfg_cap:
+                            registration.register(kc, kp, kv, src, g, cfg=c)),
+                    (kf_cells, kf_poses, kf_valid, cells0, guess),
+                    args.iters, lambda o: scalar_of(o.pose))
+        print(f"register   single {mc:7.3f} ms   [max_itr_solver={cap}]")
 
     # --- registration sub-stages -------------------------------------------
     import math
@@ -135,10 +155,10 @@ def main():
 
     packed = assoc_pack(kf_cells, kf_poses, kf_valid, cells0, guess)
     ms1 = timeit(assoc_pack, (kf_cells, kf_poses, kf_valid, cells0, guess),
-                 args.iters, lambda o: np.asarray(o))
+                 args.iters, lambda o: scalar_of(o))
     msb = timeit(jax.jit(jax.vmap(assoc_pack)),
                  (kcb, kpb, kvb, srcb, gb), args.iters,
-                 lambda o: np.asarray(o))
+                 lambda o: scalar_of(o))
     print(f"assoc+pack single {ms1:7.3f} ms   vmap x{b} {msb:7.3f} ms "
           f"({msb / ms1:.2f}x single)  [one outer iteration]")
 
@@ -147,9 +167,9 @@ def main():
         return pallas_lm.lm_solve_packed_xla(p, pose, cfg)
 
     packedb = jnp.broadcast_to(packed, (b,) + packed.shape)
-    ms1 = timeit(lm, (packed, guess), args.iters, lambda o: np.asarray(o[0]))
+    ms1 = timeit(lm, (packed, guess), args.iters, lambda o: scalar_of(o[0]))
     msb = timeit(jax.jit(jax.vmap(lm)), (packedb, gb), args.iters,
-                 lambda o: np.asarray(o[0]))
+                 lambda o: scalar_of(o[0]))
     print(f"LM solve   single {ms1:7.3f} ms   vmap x{b} {msb:7.3f} ms "
           f"({msb / ms1:.2f}x single)  [one outer iteration]")
 
@@ -161,14 +181,14 @@ def main():
     stepb = jax.jit(jax.vmap(step))
     stb = jax.tree.map(lambda a: jnp.broadcast_to(a, (b,) + a.shape), st0)
 
-    ms1 = timeit(step1, (st0, c0), args.iters, lambda o: np.asarray(o[1].pose))
-    msb = timeit(stepb, (stb, cb), args.iters, lambda o: np.asarray(o[1].pose))
+    ms1 = timeit(step1, (st0, c0), args.iters, lambda o: scalar_of(o[1].pose))
+    msb = timeit(stepb, (stb, cb), args.iters, lambda o: scalar_of(o[1].pose))
     print(f"full step  single {ms1:7.3f} ms   vmap x{b} {msb:7.3f} ms "
           f"({msb / ms1:.2f}x single)")
 
     stepbb = jax.jit(odometry.make_batched_step(cfg, "candidates"))
     msbb = timeit(stepbb, (stb, cb), args.iters,
-                  lambda o: np.asarray(o[1].pose))
+                  lambda o: scalar_of(o[1].pose))
     print(f"full step  batched x{b} {msbb:7.3f} ms ({msbb / ms1:.2f}x single; "
           f"{b * ms1 / msbb:.2f}x throughput vs single)")
 
