@@ -45,11 +45,24 @@ class FilterConfig:
     k_strongest: int = 12
     z_min: int = 60
     nms_window: int = 3              # axial NMS half-window (`radar_filters.cpp:240`)
-    # CA-CFAR (reference `cfar.h:28-42`)
+    # CA-CFAR (reference `cfar.h:28-42`). The reference dispatches CFAR
+    # *instead of* k-strongest and passes z_min as the static threshold and a
+    # hard-coded 400 m max distance (`radar_driver.cpp:52-57`).
     cfar_window: int = 40
     cfar_guard: int = 4
     false_alarm_rate: float = 0.01
-    cfar_static_threshold: float = 55.0
+    # static intensity gate; < 0 means "use z_min" (the reference wiring)
+    cfar_static_threshold: float = -1.0
+    cfar_max_distance: float = 400.0
+    # fixed per-azimuth candidate budget on the CFAR path (the reference
+    # emits a variable-length cloud; here detections become a fixed (A, Kc)
+    # masked set — overflow beyond Kc drops the weakest detections)
+    cfar_max_per_azimuth: int = 50
+
+    @property
+    def static_threshold(self) -> float:
+        return self.z_min if self.cfar_static_threshold < 0 \
+            else self.cfar_static_threshold
 
 
 @dataclass(frozen=True)
@@ -143,8 +156,11 @@ class CFEARConfig:
 
     @property
     def max_points(self) -> int:
-        """Fixed point budget per frame: one k-strongest slot per azimuth."""
-        return self.radar.n_azimuths * self.filter.k_strongest
+        """Fixed point budget per frame: one candidate slot per azimuth
+        (k-strongest or CFAR per-azimuth budget, depending on the method)."""
+        per_az = self.filter.cfar_max_per_azimuth \
+            if self.filter.method == "cacfar" else self.filter.k_strongest
+        return self.radar.n_azimuths * per_az
 
     @property
     def grid_dim(self) -> int:

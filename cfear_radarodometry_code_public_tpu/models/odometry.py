@@ -299,8 +299,6 @@ class OdometryRunner:
         there. `ingest="host"`: the native data plane runs the k-strongest
         filter on host CPU threads and only the (A, K) candidate sets cross
         the host->device link (identical results; much less link traffic)."""
-        if ingest == "host" and cfg.filter.method != "kstrong":
-            ingest = "image"      # CA-CFAR runs on device only
         self.cfg = cfg
         self.chunk = chunk
         self.ingest = ingest
@@ -318,9 +316,12 @@ class OdometryRunner:
         from cfear_radarodometry_code_public_tpu.ops.filtering import (
             Candidates)
         from cfear_radarodometry_code_public_tpu.utils import native_io
-        b, i, p = native_io.filter_frames_host(
-            images, self.cfg.filter.k_strongest, self.cfg.filter.z_min,
-            self.cfg.filter.nms_window)
+        if self.cfg.filter.method == "cacfar":
+            b, i, p = native_io.cfar_filter_frames_host(images, self.cfg)
+        else:
+            b, i, p = native_io.filter_frames_host(
+                images, self.cfg.filter.k_strongest, self.cfg.filter.z_min,
+                self.cfg.filter.nms_window)
         return Candidates(bins=b, intensity=i, peak=p)
 
     def process(self, images: np.ndarray) -> None:

@@ -106,8 +106,13 @@ def cacfar_mask(image: jax.Array, cfg: CFEARConfig) -> jax.Array:
     win, guard = f.cfar_window, f.cfar_guard
     alpha = (2 * win) * (f.false_alarm_rate ** (-1.0 / (2 * win)) - 1.0)
     a, r = image.shape
-    sq = image.astype(jnp.float32) ** 2
-    # prefix[i] = sum of sq[:, :i]
+    # exact integer window sums: uint8^2 <= 65025, row prefix <= 2.45e8
+    # at R=3768 — fits int32, so t_sum/f_sum are EXACT and the detection
+    # test can be cross-multiplied into one f32 comparison that the native
+    # host filter (`native/cfear_io.cpp:cfar_rows`) reproduces bit-exactly:
+    #   I^2 > alpha * (t_sum/t_cnt + f_sum/f_cnt) / 2
+    #   <=> 2*I^2*t_cnt*f_cnt > alpha * (t_sum*f_cnt + f_sum*t_cnt)
+    sq = image.astype(jnp.int32) ** 2
     prefix = jnp.pad(jnp.cumsum(sq, axis=1), ((0, 0), (1, 0)))
     bins = jax.lax.broadcasted_iota(jnp.int32, (a, r), 1)
     t_lo = jnp.clip(bins - guard - win, 0, r)
@@ -115,32 +120,68 @@ def cacfar_mask(image: jax.Array, cfg: CFEARConfig) -> jax.Array:
     f_lo = jnp.clip(bins + guard, 0, r)
     f_hi = jnp.clip(bins + guard + win, 0, r)
     gather = lambda idx: jnp.take_along_axis(prefix, idx, axis=1)
-    t_cnt = (t_hi - t_lo).astype(jnp.float32)
-    f_cnt = (f_hi - f_lo).astype(jnp.float32)
-    t_mean = (gather(t_hi) - gather(t_lo)) / jnp.maximum(t_cnt, 1.0)
-    f_mean = (gather(f_hi) - gather(f_lo)) / jnp.maximum(f_cnt, 1.0)
-    noise = 0.5 * (t_mean + f_mean)
-    rng = bins.astype(jnp.float32) * radar.range_res
+    t_cnt = t_hi - t_lo
+    f_cnt = f_hi - f_lo
+    t_sum = gather(t_hi) - gather(t_lo)
+    f_sum = gather(f_hi) - gather(f_lo)
+    lhs = (2 * sq * t_cnt * f_cnt).astype(jnp.float32)
+    rhs = jnp.float32(alpha) * (t_sum * f_cnt + f_sum * t_cnt
+                                ).astype(jnp.float32)
+    rng = bins.astype(jnp.float32) * jnp.float32(radar.range_res)
     det = (
-        (rng > radar.min_distance)
-        & (rng < radar.max_distance)
-        & (image.astype(jnp.float32) > f.cfar_static_threshold)
-        & (sq > alpha * noise)
+        (rng > jnp.float32(radar.min_distance))
+        & (rng < jnp.float32(f.cfar_max_distance))
+        & (image.astype(jnp.float32) > jnp.float32(f.static_threshold))
+        & (lhs > rhs)
         & (t_cnt > 0)
         & (f_cnt > 0)
     )
     return det
 
 
-def polar_to_points(bins, valid, intens, peaks, cfg: CFEARConfig) -> PointCloud:
-    """(A, k) selected bins -> flat fixed-size Cartesian point cloud."""
+def cfar_select(image: jax.Array, cfg: CFEARConfig):
+    """Exclusive CA-CFAR selection: detections -> fixed (A, Kc) masked bins.
+
+    The reference emits EVERY detected bin as a point
+    (`radar_driver.cpp:52-57`, `cfar.cpp:35-71`); fixed TPU shapes require a
+    per-azimuth budget `cfar_max_per_azimuth` — when an azimuth has more
+    detections than the budget, the weakest (by intensity, then smaller bin)
+    are dropped. Returns (bins (A, Kc) int32, valid (A, Kc) bool,
+    intensities (A, Kc)).
+    """
+    det = cacfar_mask(image, cfg)
+    a, r = image.shape
+    kc = cfg.filter.cfar_max_per_azimuth
+    intens = image.astype(jnp.int32)
+    bins_iota = jax.lax.broadcasted_iota(jnp.int32, (a, r), 1)
+    shift = 1 << (r - 1).bit_length()
+    key = jnp.where(det, intens * shift + bins_iota, -1)
+    topv, _ = jax.lax.top_k(key, kc)
+    valid = topv >= 0
+    bins = jnp.where(valid, topv % shift, 0)
+    sel_int = jnp.where(valid, topv // shift, 0)
+    return bins, valid, sel_int
+
+
+def polar_to_points(bins, valid, intens, peaks, cfg: CFEARConfig,
+                    convention: str = "kstrong") -> PointCloud:
+    """(A, k) selected bins -> flat fixed-size Cartesian point cloud.
+
+    `convention="kstrong"`: range = (bin+0.5)*dr with the min-distance bin
+    gate (`radar_filters.cpp:315-330`). `convention="cacfar"`: range =
+    bin*dr and no extra gate — the CFAR mask already applied the range
+    window (`cfar.cpp:42-46`, `radar_driver.cpp:55`)."""
     radar = cfg.radar
     a = radar.n_azimuths
     az = jax.lax.broadcasted_iota(jnp.int32, bins.shape, 0)
     theta = (az + 1).astype(jnp.float32) / a * (2.0 * jnp.pi)
-    rng = (bins.astype(jnp.float32) + 0.5) * radar.range_res
-    min_bin = int(math.ceil(radar.min_distance / radar.range_res))
-    keep = valid & (bins > min_bin)
+    if convention == "cacfar":
+        rng = bins.astype(jnp.float32) * radar.range_res
+        keep = valid
+    else:
+        rng = (bins.astype(jnp.float32) + 0.5) * radar.range_res
+        min_bin = int(math.ceil(radar.min_distance / radar.range_res))
+        keep = valid & (bins > min_bin)
     xy = jnp.stack([rng * jnp.cos(theta), rng * jnp.sin(theta)], -1)
     return PointCloud(
         xy=xy.reshape(-1, 2),
@@ -167,12 +208,14 @@ def points_from_candidates(cand: Candidates, cfg: CFEARConfig) -> PointCloud:
     """Device-side half of the split ingest: candidates -> point cloud.
 
     Equivalent to `filter_polar_image` on the original image (the candidate
-    set is exactly the k-strongest selection; only the cheap
+    set is exactly the k-strongest / CA-CFAR selection; only the cheap
     polar->Cartesian conversion remains on device)."""
     bins = cand.bins.astype(jnp.int32)
     valid = bins >= 0
     return polar_to_points(jnp.maximum(bins, 0), valid,
-                           cand.intensity, cand.peak.astype(bool), cfg)
+                           cand.intensity, cand.peak.astype(bool), cfg,
+                           convention=cfg.filter.method
+                           if cfg.filter.method == "cacfar" else "kstrong")
 
 
 def intensity_filter(pc: PointCloud, threshold: float = 50.0,
@@ -196,14 +239,20 @@ def add_noise(pc: PointCloud, key, sigma: float = 0.1) -> PointCloud:
 def filter_polar_image(image: jax.Array, cfg: CFEARConfig) -> PointCloud:
     """Full filter stage: polar uint8 image (A, R) -> masked point cloud.
 
-    Equivalent of `radarDriver::Process` (`radar_driver.cpp:48-73`): produces
-    the k-strongest cloud and its NMS "peaks" subset in one fixed-shape pass.
+    Equivalent of `radarDriver::Process` (`radar_driver.cpp:48-73`): on the
+    default path it produces the k-strongest cloud and its NMS "peaks"
+    subset in one fixed-shape pass; with method="cacfar" the CA-CFAR
+    detector REPLACES k-strongest (`radar_driver.cpp:52-57`) and the peaks
+    set is empty (the reference publishes an empty peaks cloud on that
+    path, `radar_driver.cpp:50-57`).
     """
     f = cfg.filter
-    bins, valid = kstrongest_mask(image, f.k_strongest, f.z_min)
     if f.method == "cacfar":
-        cf = cacfar_mask(image, cfg)
-        valid = valid & jnp.take_along_axis(cf, bins, axis=1)
+        bins, valid, intens = cfar_select(image, cfg)
+        return polar_to_points(bins, valid, intens,
+                               jnp.zeros_like(valid), cfg,
+                               convention="cacfar")
+    bins, valid = kstrongest_mask(image, f.k_strongest, f.z_min)
     peak_img = nms_peak_image(image, f.nms_window)
     peaks = jnp.take_along_axis(peak_img, bins, axis=1) & valid
     intens = jnp.take_along_axis(image, bins, axis=1)

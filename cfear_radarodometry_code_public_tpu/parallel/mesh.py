@@ -89,8 +89,6 @@ class MultiSequenceRunner:
 
     def __init__(self, cfg: CFEARConfig, batch: int, mesh: Optional[Mesh] = None,
                  chunk: int = 16, ingest: str = "image"):
-        if ingest == "host" and cfg.filter.method != "kstrong":
-            ingest = "image"
         self.cfg = cfg
         self.chunk = chunk
         self.ingest = ingest
@@ -111,9 +109,12 @@ class MultiSequenceRunner:
         from cfear_radarodometry_code_public_tpu.utils import native_io
         f = self.cfg.filter
         b, t = images.shape[:2]
-        bi, it, pk = native_io.filter_frames_host(
-            images.reshape((-1,) + images.shape[2:]), f.k_strongest,
-            f.z_min, f.nms_window)
+        flat = images.reshape((-1,) + images.shape[2:])
+        if f.method == "cacfar":
+            bi, it, pk = native_io.cfar_filter_frames_host(flat, self.cfg)
+        else:
+            bi, it, pk = native_io.filter_frames_host(
+                flat, f.k_strongest, f.z_min, f.nms_window)
         shp = (b, t) + bi.shape[1:]
         return Candidates(bins=bi.reshape(shp), intensity=it.reshape(shp),
                           peak=pk.reshape(shp))

@@ -75,6 +75,14 @@ def _load_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int]
+            lib.cfear_cfar_filter_frames.restype = None
+            lib.cfear_cfar_filter_frames.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_float, ctypes.c_float, ctypes.c_float,
+                ctypes.c_float, ctypes.c_float,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int]
             _lib = lib
         except Exception:
             _lib_failed = True
@@ -234,6 +242,82 @@ def _filter_frames_numpy(images, k, z_min, w, bins, intens, peaks):
     peaks[...] = np.where(
         valid, np.take_along_axis(is_peak, np.maximum(b, 0), axis=-1),
         False).astype(np.uint8)
+
+
+def cfar_filter_frames_host(images: np.ndarray, cfg, n_threads: int = 8
+                            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side exclusive CA-CFAR filter over (T, A, R) uint8 sweeps.
+
+    CFAR twin of `filter_frames_host` for the split-ingest data plane:
+    bit-identical to the device filter (`ops/filtering.py`: `cacfar_mask` +
+    `cfar_select`; reference semantics `cfar.cpp:35-71` dispatched
+    exclusively per `radar_driver.cpp:52-57`). Returns (bins (T, A, Kc)
+    int16 with -1 empty, intensities (T, A, Kc) uint8, peaks (T, A, Kc)
+    uint8 — all zero: the CFAR path has no peaks cloud)."""
+    f, radar = cfg.filter, cfg.radar
+    win, guard, kc = f.cfar_window, f.cfar_guard, f.cfar_max_per_azimuth
+    alpha = (2 * win) * (f.false_alarm_rate ** (-1.0 / (2 * win)) - 1.0)
+    images = np.ascontiguousarray(images, np.uint8)
+    squeeze = images.ndim == 2
+    if squeeze:
+        images = images[None]
+    t, a, r = images.shape
+    bins = np.empty((t, a, kc), np.int16)
+    intens = np.empty((t, a, kc), np.uint8)
+    peaks = np.zeros((t, a, kc), np.uint8)
+    lib = _load_lib()
+    if lib is not None:
+        lib.cfear_cfar_filter_frames(
+            images.ctypes.data_as(ctypes.c_void_p), t, a, r, kc, win, guard,
+            np.float32(alpha), np.float32(radar.range_res),
+            np.float32(radar.min_distance), np.float32(f.cfar_max_distance),
+            np.float32(f.static_threshold),
+            bins.ctypes.data_as(ctypes.c_void_p),
+            intens.ctypes.data_as(ctypes.c_void_p),
+            peaks.ctypes.data_as(ctypes.c_void_p), n_threads)
+    else:
+        _cfar_filter_frames_numpy(images, kc, win, guard, alpha, radar,
+                                  f, bins, intens)
+    if squeeze:
+        return bins[0], intens[0], peaks[0]
+    return bins, intens, peaks
+
+
+def _cfar_filter_frames_numpy(images, kc, win, guard, alpha, radar, f,
+                              bins_out, intens_out):
+    """Vectorized NumPy fallback with identical (f32 cross-multiplied)
+    semantics."""
+    t, a, r = images.shape
+    sq = images.astype(np.int32) ** 2
+    prefix = np.concatenate(
+        [np.zeros((t, a, 1), np.int32), np.cumsum(sq, axis=-1)], -1)
+    b = np.arange(r, dtype=np.int32)
+    t_lo = np.clip(b - guard - win, 0, r)
+    t_hi = np.clip(b - guard, 0, r)
+    f_lo = np.clip(b + guard, 0, r)
+    f_hi = np.clip(b + guard + win, 0, r)
+    t_cnt, f_cnt = t_hi - t_lo, f_hi - f_lo
+    t_sum = prefix[..., t_hi] - prefix[..., t_lo]
+    f_sum = prefix[..., f_hi] - prefix[..., f_lo]
+    lhs = (2 * sq * t_cnt * f_cnt).astype(np.float32)
+    rhs = np.float32(alpha) * (t_sum * f_cnt + f_sum * t_cnt
+                               ).astype(np.float32)
+    rng = b.astype(np.float32) * np.float32(radar.range_res)
+    det = ((rng > np.float32(radar.min_distance))
+           & (rng < np.float32(f.cfar_max_distance))
+           & (images.astype(np.float32) > np.float32(f.static_threshold))
+           & (lhs > rhs) & (t_cnt > 0) & (f_cnt > 0))
+    shift = 1
+    while shift < r:
+        shift <<= 1
+    key = np.where(det, images.astype(np.int32) * shift + b, -1)
+    part = np.argpartition(-key, kc - 1, axis=-1)[..., :kc]
+    topv = np.take_along_axis(key, part, axis=-1)
+    order = np.argsort(-topv, axis=-1, kind="stable")
+    topv = np.take_along_axis(topv, order, axis=-1)
+    valid = topv >= 0
+    bins_out[...] = np.where(valid, topv % shift, -1).astype(np.int16)
+    intens_out[...] = np.where(valid, topv // shift, 0).astype(np.uint8)
 
 
 class PrefetchLoader:

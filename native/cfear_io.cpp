@@ -352,9 +352,99 @@ void filter_rows(const uint8_t* images, int64_t n_rows, int64_t r, int k,
   }
 }
 
+// ---------------- host-side CA-CFAR filter ----------------
+//
+// Exclusive CA-CFAR candidate extraction (the reference dispatches CFAR
+// INSTEAD of k-strongest, radar_driver.cpp:52-57; detection test
+// cfar.cpp:35-71). Semantics are bit-identical to the device filter
+// (`ops/filtering.py:cacfar_mask` + `cfar_select`): integer window sums of
+// squared intensities (exact in int32), detection via the cross-multiplied
+// f32 comparison 2*I^2*t_cnt*f_cnt > alpha*(t_sum*f_cnt + f_sum*t_cnt), and
+// per-azimuth top-Kc selection ordered by (intensity, bin) descending with
+// overflow dropping the weakest detections. Peak flags are always 0 on this
+// path (the reference publishes an empty peaks cloud for CFAR).
+
+void cfar_rows(const uint8_t* images, int64_t r, int kc, int win, int guard,
+               float alpha, float dr, float min_dist, float max_dist,
+               float static_th, int16_t* out_bins, uint8_t* out_intens,
+               uint8_t* out_peaks, int64_t row_begin, int64_t row_end) {
+  std::vector<int32_t> prefix(r + 1);
+  std::vector<int32_t> keys;
+  keys.reserve(r);
+  int shift = 1;
+  while (shift < r) shift <<= 1;
+  for (int64_t row = row_begin; row < row_end; ++row) {
+    const uint8_t* img = images + row * r;
+    prefix[0] = 0;
+    for (int64_t b = 0; b < r; ++b)
+      prefix[b + 1] = prefix[b] + int32_t(img[b]) * int32_t(img[b]);
+    keys.clear();
+    for (int64_t b = 0; b < r; ++b) {
+      const float rng = float(b) * dr;
+      if (!(rng > min_dist) || !(rng < max_dist)) continue;
+      if (!(float(img[b]) > static_th)) continue;
+      const int32_t t_lo = std::max<int32_t>(0, int32_t(b) - guard - win);
+      const int32_t t_hi = std::min<int32_t>(r, std::max<int32_t>(0, int32_t(b) - guard));
+      const int32_t f_lo = std::min<int32_t>(r, std::max<int32_t>(0, int32_t(b) + guard));
+      const int32_t f_hi = std::min<int32_t>(r, int32_t(b) + guard + win);
+      const int32_t t_cnt = t_hi - t_lo;
+      const int32_t f_cnt = f_hi - f_lo;
+      if (t_cnt <= 0 || f_cnt <= 0) continue;
+      const int32_t t_sum = prefix[t_hi] - prefix[t_lo];
+      const int32_t f_sum = prefix[f_hi] - prefix[f_lo];
+      const int32_t sq = int32_t(img[b]) * int32_t(img[b]);
+      const float lhs = float(2 * sq * t_cnt * f_cnt);
+      const float rhs = alpha * float(t_sum * f_cnt + f_sum * t_cnt);
+      if (lhs > rhs)
+        keys.push_back(int32_t(img[b]) * shift + int32_t(b));
+    }
+    std::sort(keys.begin(), keys.end(), std::greater<int32_t>());
+    int16_t* ob = out_bins + row * kc;
+    uint8_t* oi = out_intens + row * kc;
+    uint8_t* op = out_peaks + row * kc;
+    int out = 0;
+    for (size_t j = 0; j < keys.size() && out < kc; ++j, ++out) {
+      ob[out] = static_cast<int16_t>(keys[j] % shift);
+      oi[out] = static_cast<uint8_t>(keys[j] / shift);
+      op[out] = 0;
+    }
+    for (; out < kc; ++out) {
+      ob[out] = -1;
+      oi[out] = 0;
+      op[out] = 0;
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+// images: (T, A, R) uint8. Outputs: (T, A, Kc) int16 / uint8 / uint8.
+void cfear_cfar_filter_frames(const uint8_t* images, int64_t t, int64_t a,
+                              int64_t r, int kc, int win, int guard,
+                              float alpha, float dr, float min_dist,
+                              float max_dist, float static_th,
+                              int16_t* out_bins, uint8_t* out_intens,
+                              uint8_t* out_peaks, int n_threads) {
+  const int64_t n_rows = t * a;
+  if (n_threads <= 1 || n_rows < 64) {
+    cfar_rows(images, r, kc, win, guard, alpha, dr, min_dist, max_dist,
+              static_th, out_bins, out_intens, out_peaks, 0, n_rows);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t per = (n_rows + n_threads - 1) / n_threads;
+  for (int i = 0; i < n_threads; ++i) {
+    int64_t lo = i * per;
+    int64_t hi = lo + per > n_rows ? n_rows : lo + per;
+    if (lo >= hi) break;
+    threads.emplace_back(cfar_rows, images, r, kc, win, guard, alpha, dr,
+                         min_dist, max_dist, static_th, out_bins, out_intens,
+                         out_peaks, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+}
 
 // images: (T, A, R) uint8. Outputs: (T, A, K) int16 / uint8 / uint8.
 void cfear_filter_frames(const uint8_t* images, int64_t t, int64_t a,

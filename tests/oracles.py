@@ -76,6 +76,46 @@ def points_oracle(image: np.ndarray, bins_per_az, range_res: float,
     return np.array(pts).reshape(-1, 3)
 
 
+def cacfar_oracle(image: np.ndarray, window: int, guard: int,
+                  false_alarm_rate: float, range_res: float,
+                  static_threshold: float, min_distance: float,
+                  max_distance: float):
+    """Literal loop-level restatement of
+    `AzimuthCACFAR::getFilteredPointCloud` (`cfar.cpp:35-71`) in double
+    precision. Returns (x, y, intensity) points, one per detection, with
+    the CFAR conventions: range = bin * dr (no half-bin offset), theta =
+    (az+1)/A * 2pi; mean windows of squared intensities, trailing
+    [max(0, b-g-w), b-g) and forward [b+g, min(R, b+g+w)); a window with
+    zero samples yields NaN (0/0) -> never detects."""
+    a, r = image.shape
+    alpha = (2 * window) * (false_alarm_rate ** (-1.0 / (2 * window)) - 1.0)
+    img = image.astype(np.float64)
+    pts = []
+    for az in range(a):
+        theta = (az + 1) / a * 2 * np.pi
+        for b in range(r):
+            rng = range_res * b
+            intensity = img[az, b]
+            if not (rng > min_distance and rng < max_distance
+                    and intensity > static_threshold):
+                continue
+
+            def get_mean(lo, hi):
+                s, n = 0.0, 0.0
+                for i in range(max(lo, 0), hi):
+                    s += img[az, i] ** 2
+                    n += 1.0
+                return s / n if n > 0 else float("nan")
+
+            t_mean = get_mean(b - guard - window, b - guard)
+            f_mean = get_mean(b + guard, min(r, b + guard + window))
+            mean = (t_mean + f_mean) / 2.0
+            if intensity ** 2 > alpha * mean:   # NaN compares False
+                pts.append((rng * np.cos(theta), rng * np.sin(theta),
+                            intensity))
+    return np.array(pts).reshape(-1, 3)
+
+
 def cell_oracle(points_xy: np.ndarray, intens: np.ndarray,
                 weight_intensity: bool, floor: float = 60.0):
     """Weighted mean / covariance / normal of one cell's samples

@@ -102,6 +102,83 @@ def test_cacfar_borders_no_detection():
     assert mask2.sum() == 1
 
 
+def _cfar_cfg(n_az=64, n_bins=256, kc=50):
+    import dataclasses
+    cfg = _cfg()
+    filt = dataclasses.replace(cfg.filter, method="cacfar", cfar_window=8,
+                               cfar_guard=2, cfar_max_per_azimuth=kc)
+    return cfg.replace(filter=filt)
+
+
+def test_cacfar_exclusive_matches_reference_oracle():
+    """filter_polar_image(method="cacfar") == a literal double-precision
+    restatement of `cfar.cpp:35-71` (exclusive dispatch,
+    `radar_driver.cpp:52-57`): same point set, range = bin*dr, no peaks."""
+    from oracles import cacfar_oracle
+    rng = np.random.default_rng(3)
+    cfg = _cfar_cfg()
+    img = rand_image(rng, 64, 256)
+    f, radar = cfg.filter, cfg.radar
+    expect = cacfar_oracle(img, f.cfar_window, f.cfar_guard,
+                           f.false_alarm_rate, radar.range_res,
+                           f.static_threshold, radar.min_distance,
+                           f.cfar_max_distance)
+    pc = filtering.filter_polar_image(jnp.asarray(img), cfg)
+    valid = np.asarray(pc.valid)
+    assert not np.asarray(pc.peak).any()      # no peaks cloud on CFAR path
+    got = np.concatenate([np.asarray(pc.xy)[valid],
+                          np.asarray(pc.intensity)[valid][:, None]], -1)
+
+    def canon(a):
+        key = np.round(a, 3)
+        return a[np.lexsort((key[:, 2], key[:, 1], key[:, 0]))]
+
+    assert got.shape == expect.shape
+    np.testing.assert_allclose(canon(got), canon(expect), atol=2e-3)
+
+
+def test_cacfar_host_ingest_matches_device():
+    """Native/NumPy host CFAR filter == device cfar_select, bit-exactly,
+    and points_from_candidates == filter_polar_image on the CFAR path."""
+    from cfear_radarodometry_code_public_tpu.utils import native_io
+    rng = np.random.default_rng(4)
+    cfg = _cfar_cfg()
+    imgs = np.stack([rand_image(rng, 64, 256) for _ in range(3)])
+    bins_h, int_h, peak_h = native_io.cfar_filter_frames_host(imgs, cfg)
+    assert not peak_h.any()
+    for t in range(imgs.shape[0]):
+        bins_d, valid_d, int_d = filtering.cfar_select(
+            jnp.asarray(imgs[t]), cfg)
+        bins_d = np.where(np.asarray(valid_d), np.asarray(bins_d), -1)
+        np.testing.assert_array_equal(bins_h[t], bins_d.astype(np.int16))
+        np.testing.assert_array_equal(
+            int_h[t], np.where(np.asarray(valid_d), np.asarray(int_d), 0))
+        pc_dev = filtering.filter_polar_image(jnp.asarray(imgs[t]), cfg)
+        pc_cand = filtering.points_from_candidates(
+            filtering.Candidates(bins=jnp.asarray(bins_h[t]),
+                                 intensity=jnp.asarray(int_h[t]),
+                                 peak=jnp.asarray(peak_h[t])), cfg)
+        np.testing.assert_array_equal(np.asarray(pc_dev.valid),
+                                      np.asarray(pc_cand.valid))
+        v = np.asarray(pc_dev.valid)
+        np.testing.assert_allclose(np.asarray(pc_dev.xy)[v],
+                                   np.asarray(pc_cand.xy)[v], atol=1e-6)
+
+
+def test_cacfar_overflow_keeps_strongest():
+    """More detections than the per-azimuth budget -> weakest dropped."""
+    cfg = _cfar_cfg(kc=3)
+    img = np.full((64, 256), 5, np.uint8)
+    # five isolated strong returns on one azimuth, distinct intensities
+    bins = [40, 70, 100, 130, 160]
+    vals = [200, 210, 220, 230, 240]
+    for b, v in zip(bins, vals):
+        img[7, b] = v
+    sel_bins, valid, sel_int = filtering.cfar_select(jnp.asarray(img), cfg)
+    got = sorted(np.asarray(sel_bins)[7][np.asarray(valid)[7]].tolist())
+    assert got == [100, 130, 160]     # the three strongest
+
+
 def test_min_range_gate():
     cfg = _cfg()
     img = np.zeros((64, 256), np.uint8)

@@ -36,6 +36,25 @@ def test_end_to_end_tracks_ground_truth():
     assert dth.max() < 0.05
 
 
+def test_end_to_end_cacfar_host_ingest():
+    """Exclusive CA-CFAR filtering drives the full pipeline through the
+    host-ingest data plane (no silent fallback to image ingest)."""
+    cfg = _cfg()
+    filt = dataclasses.replace(cfg.filter, method="cacfar", cfar_window=10,
+                               cfar_guard=2, cfar_max_per_azimuth=24)
+    cfg = cfg.replace(filter=filt)
+    images, gt = synthetic.make_sequence(seed=3, n_frames=24, cfg=cfg)
+    runner = odometry.OdometryRunner(cfg, chunk=8, ingest="host")
+    assert runner.ingest == "host"
+    runner.process(images)
+    traj = runner.trajectory()
+    assert ate_rmse(traj[:, :2], gt[:, :2]) < 1.0
+    # candidates ingest == image ingest, identical trajectory
+    r2 = odometry.OdometryRunner(cfg, chunk=8, ingest="image")
+    r2.process(images)
+    np.testing.assert_allclose(traj, r2.trajectory(), atol=1e-4)
+
+
 def test_keyframe_gating():
     cfg = _cfg()
     images, gt = synthetic.make_sequence(seed=5, n_frames=20, cfg=cfg,
