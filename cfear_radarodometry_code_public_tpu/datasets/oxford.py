@@ -7,9 +7,12 @@ released formats —
 - Oxford: one PNG per sweep, 400 rows (azimuths) x (11 + 3768) columns; the
   first 11 columns encode timestamp/azimuth metadata and are stripped; file
   names are unix-microsecond timestamps.
-- MulRan: one PNG per sweep, 3200 range rows x 400 azimuth columns
-  (transposed to rows=azimuth like `radar_driver.cpp:80-88` rotates generic
-  input so rows are azimuths).
+- MulRan: one PNG per sweep, range-major (range rows x 400 azimuth
+  columns); rotated 90 deg counter-clockwise so rows are azimuths, exactly
+  like the reference's generic callback rotates its input
+  (`cv::ROTATE_90_COUNTERCLOCKWISE`, `radar_driver.cpp:84`). A plain
+  transpose would MIRROR the azimuth order, flipping the scan direction
+  and hence the motion-compensation time convention for CCW radars.
 
 Ground truth is read from the released CSVs. Nothing here downloads — all
 loaders take local directories and raise clearly when absent.
@@ -49,6 +52,13 @@ def oxford_frames(radar_dir: str) -> Iterator[Tuple[float, np.ndarray]]:
         yield stamp, np.ascontiguousarray(data[:, :3768], np.uint8)
 
 
+def rotate_90_ccw(img: np.ndarray) -> np.ndarray:
+    """90 deg counter-clockwise rotation with `cv::rotate(...,
+    ROTATE_90_COUNTERCLOCKWISE)` semantics (`radar_driver.cpp:84`):
+    dst[i, j] = src[j, W-1-i] (transpose + reverse rows)."""
+    return np.rot90(img)
+
+
 def mulran_frames(radar_dir: str) -> Iterator[Tuple[float, np.ndarray]]:
     """Yield (timestamp_s, polar uint8 (400, R)) from a MulRan
     `polar` directory (<nanoseconds>.png, range-major)."""
@@ -59,7 +69,7 @@ def mulran_frames(radar_dir: str) -> Iterator[Tuple[float, np.ndarray]]:
         if img.ndim == 3:
             img = img[..., 0]
         if img.shape[0] > img.shape[1]:   # range-major -> azimuth-major
-            img = img.T
+            img = rotate_90_ccw(img)
         stamp = int(name[:-4]) * 1e-9
         yield stamp, np.ascontiguousarray(img, np.uint8)
 

@@ -29,7 +29,21 @@ def test_oxford_frames_strip_metadata(tmp_path):
     assert frames[0][0] < frames[1][0] < frames[2][0]
 
 
-def test_mulran_frames_transpose(tmp_path):
+def test_rotate_90_ccw_matches_cv_semantics():
+    """rotate_90_ccw == a literal loop restatement of cv::rotate(...,
+    ROTATE_90_COUNTERCLOCKWISE) (`radar_driver.cpp:84`):
+    dst[i, j] = src[j, W-1-i]."""
+    rng = np.random.default_rng(2)
+    src = rng.integers(0, 255, (7, 5), dtype=np.uint8)
+    h, w = src.shape
+    expect = np.empty((w, h), np.uint8)
+    for i in range(w):
+        for j in range(h):
+            expect[i, j] = src[j, w - 1 - i]
+    np.testing.assert_array_equal(oxford.rotate_90_ccw(src), expect)
+
+
+def test_mulran_frames_rotate_ccw(tmp_path):
     d = tmp_path / "polar"
     d.mkdir()
     rng = np.random.default_rng(1)
@@ -38,7 +52,9 @@ def test_mulran_frames_transpose(tmp_path):
     frames = list(oxford.mulran_frames(str(d)))
     stamp, data = frames[0]
     assert data.shape == (400, 3360)                          # azimuth-major
-    np.testing.assert_array_equal(data, img.T)
+    # true 90 deg CCW rotation, NOT a transpose (which would mirror the
+    # azimuth order and flip the scan direction)
+    np.testing.assert_array_equal(data, img.T[::-1])
     assert abs(stamp - 1561000000.0) < 1e-6
 
 
