@@ -28,8 +28,14 @@ import numpy as np
 
 def make_world(rng: np.random.Generator, n_walls: int = 18,
                n_scatterers: int = 250, extent: float = 160.0,
-               texture_knots: int = 512) -> Dict[str, np.ndarray]:
-    """Random world: wall segments with reflectivity texture + scatterers."""
+               texture_knots: int = 512,
+               n_dynamic: int = 0) -> Dict[str, np.ndarray]:
+    """Random world: wall segments with reflectivity texture + scatterers.
+
+    `n_dynamic` adds moving point objects (cars: bright multi-scatterer
+    clusters with piecewise-constant velocities) that violate the static-
+    world assumption — the adversarial ingredient real radar odometry must
+    be robust to."""
     p0 = rng.uniform(-extent, extent, (n_walls, 2))
     ang = rng.uniform(0, 2 * np.pi, n_walls)
     length = rng.uniform(25.0, 100.0, n_walls)
@@ -42,9 +48,20 @@ def make_world(rng: np.random.Generator, n_walls: int = 18,
     scat = np.concatenate(
         [rng.uniform(-extent, extent, (n_scatterers, 2)),
          rng.uniform(90, 230, (n_scatterers, 1))], -1)
+    # dynamic objects: position, velocity (m/s), reflectivity; each renders
+    # as a 3-scatterer cluster (front/center/rear) at its frame-time pose
+    dyn_pos = rng.uniform(-extent, extent, (n_dynamic, 2))
+    dyn_ang = rng.uniform(0, 2 * np.pi, n_dynamic)
+    dyn_speed = rng.uniform(2.0, 14.0, n_dynamic)
+    dyn_vel = np.stack([np.cos(dyn_ang), np.sin(dyn_ang)], -1) \
+        * dyn_speed[:, None]
+    dyn_refl = rng.uniform(150, 240, n_dynamic)
     return dict(seg_p0=p0, seg_p1=p1,
                 seg_refl=rng.uniform(140, 230, n_walls),
-                seg_texture=texture, scatterers=scat)
+                seg_texture=texture, scatterers=scat,
+                dyn_pos=dyn_pos.reshape(-1, 2),
+                dyn_vel=dyn_vel.reshape(-1, 2),
+                dyn_refl=dyn_refl)
 
 
 def make_trajectory(rng: np.random.Generator, n_frames: int,
@@ -102,9 +119,18 @@ def _raycast(world, origins: np.ndarray, dirs: np.ndarray):
 
 def render_polar(world, pose: np.ndarray, cfg, rng: np.random.Generator,
                  motion: np.ndarray | None = None,
-                 noise_scale: float = 12.0) -> np.ndarray:
+                 noise_scale: float = 12.0, t: float = 0.0,
+                 dropout_prob: float = 0.0,
+                 speckle_burst_prob: float = 0.0) -> np.ndarray:
     """Render one polar sweep (A, R) uint8 at `pose`; `motion` is the
-    frame-to-frame motion applied fractionally across the sweep."""
+    frame-to-frame motion applied fractionally across the sweep.
+
+    Adversarial degradations (all off by default):
+    - `t`: frame time (s) — places the world's dynamic objects
+    - `dropout_prob`: per-frame chance of a random azimuth wedge whose
+      returns are attenuated to the noise floor (receiver blockage)
+    - `speckle_burst_prob`: per-frame chance of a burst of bright
+      supra-threshold speckle streaks (interference)"""
     radar = cfg.radar
     a_bins, r_bins = radar.n_azimuths, radar.n_bins
     dr = radar.range_res
@@ -141,6 +167,17 @@ def render_polar(world, pose: np.ndarray, cfg, rng: np.random.Generator,
 
     # --- discrete point scatterers (visible only if no wall in front) ---
     scat = world["scatterers"]
+    if world.get("dyn_pos") is not None and len(world["dyn_pos"]):
+        # dynamic objects at their frame-time position: 3-scatterer cluster
+        # (rear / center / front along the velocity direction)
+        dp = world["dyn_pos"] + t * world["dyn_vel"]
+        speed = np.maximum(np.linalg.norm(world["dyn_vel"], axis=-1,
+                                          keepdims=True), 1e-6)
+        fwd = world["dyn_vel"] / speed
+        cluster = np.concatenate([dp - 1.5 * fwd, dp, dp + 1.5 * fwd])
+        refl3 = np.tile(world["dyn_refl"], 3)[:, None]
+        scat = np.concatenate([scat,
+                               np.concatenate([cluster, refl3], -1)])
     theta0 = np.mod(np.arctan2(scat[:, 1] - pose[1], scat[:, 0] - pose[0])
                     - pose[2], 2 * np.pi)
     b0 = np.clip(np.round(theta0 * a_bins / (2 * np.pi) - 1.0).astype(int),
@@ -166,6 +203,22 @@ def render_polar(world, pose: np.ndarray, cfg, rng: np.random.Generator,
             wr = np.exp(-0.5 * ((np.round(rng_f) + drb - rng_f) / sig_r) ** 2)
             np.add.at(img, (ab, rb), refl * wa * wr)
 
+    # --- adversarial degradations -----------------------------------------
+    if dropout_prob > 0 and rng.random() < dropout_prob:
+        # attenuate a random azimuth wedge to the noise floor
+        width = int(rng.integers(a_bins // 16, a_bins // 4))
+        start = int(rng.integers(0, a_bins))
+        idx = (start + np.arange(width)) % a_bins
+        img[idx] *= rng.uniform(0.0, 0.2)
+    if speckle_burst_prob > 0 and rng.random() < speckle_burst_prob:
+        # bright interference streaks: a few azimuths with supra-threshold
+        # speckle across long range spans
+        for _ in range(int(rng.integers(2, 6))):
+            az = int(rng.integers(0, a_bins))
+            lo = int(rng.integers(0, r_bins // 2))
+            hi = int(rng.integers(lo + r_bins // 8, r_bins))
+            img[az, lo:hi] += rng.exponential(90.0, hi - lo)
+
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
@@ -181,10 +234,16 @@ def make_loop_trajectory(n_frames: int, dt: float = 0.25,
 
 
 def make_sequence(seed: int, n_frames: int, cfg, speed: float = 5.0,
-                  noise_scale: float = 12.0, trajectory: str = "random"):
-    """Full synthetic sequence: (images (T, A, R) uint8, gt_poses (T, 3))."""
+                  noise_scale: float = 12.0, trajectory: str = "random",
+                  n_dynamic: int = 0, dropout_prob: float = 0.0,
+                  speckle_burst_prob: float = 0.0, extent: float = 160.0):
+    """Full synthetic sequence: (images (T, A, R) uint8, gt_poses (T, 3)).
+
+    The adversarial knobs (`n_dynamic` moving objects, azimuth-wedge
+    `dropout_prob`, `speckle_burst_prob`) harden the world beyond the
+    static, occlusion-light default — see `render_polar`."""
     rng = np.random.default_rng(seed)
-    world = make_world(rng)
+    world = make_world(rng, n_dynamic=n_dynamic, extent=extent)
     if trajectory == "loop":
         gt = make_loop_trajectory(n_frames, dt=cfg.radar.sensor_period,
                                   speed=speed)
@@ -193,6 +252,7 @@ def make_sequence(seed: int, n_frames: int, cfg, speed: float = 5.0,
                              speed=speed)
     images = np.zeros((n_frames, cfg.radar.n_azimuths, cfg.radar.n_bins),
                       np.uint8)
+    dt = cfg.radar.sensor_period
     for i in range(n_frames):
         motion = None
         if i > 0:
@@ -202,5 +262,7 @@ def make_sequence(seed: int, n_frames: int, cfg, speed: float = 5.0,
             motion = np.array([c * dx + s * dy, -s * dx + c * dy,
                                cur[2] - prev[2]])
         images[i] = render_polar(world, gt[i], cfg, rng, motion=motion,
-                                 noise_scale=noise_scale)
+                                 noise_scale=noise_scale, t=i * dt,
+                                 dropout_prob=dropout_prob,
+                                 speckle_burst_prob=speckle_burst_prob)
     return images, gt

@@ -15,6 +15,15 @@ completes the SLAM story in-repo:
   with the registration covariance.
 - **Optimization**: the pose graph (odometry chain + verified loops) is
   solved with the GN/CG backend (optionally distributed).
+
+Scaling design (TPU-first): every stage is batched over keyframes/pairs —
+descriptors are ONE lane-offset segment-sum over all K keyframes, proposal
+is one K x K cosine-distance matmul, yaw seeding is one vectorized FFT
+cross-correlation over all candidate pairs, and verification is ONE vmapped
+registration over the (padded) pair batch. Nothing loops per keyframe on
+the host, so a 500+-frame sequence closes in a handful of device dispatches.
+The pass consumes the scan payloads stored in the graph (`GraphBuilder.
+scans`, the `.sgh` content) — it does NOT need the raw images.
 """
 
 from __future__ import annotations
@@ -28,7 +37,7 @@ import numpy as np
 
 from cfear_radarodometry_code_public_tpu.config import CFEARConfig
 from cfear_radarodometry_code_public_tpu.models import posegraph
-from cfear_radarodometry_code_public_tpu.ops import features, filtering, registration
+from cfear_radarodometry_code_public_tpu.ops import features, registration
 from cfear_radarodometry_code_public_tpu.utils import se2
 
 
@@ -46,36 +55,55 @@ class LoopCloserConfig:
 def _descriptors(cells: features.CellMap, cfg: CFEARConfig,
                  lc: LoopCloserConfig):
     """(ring_key (n_rings,), sector_hist (n_sectors,)) for one scan."""
-    valid = cells.valid
+    rk, sh = _descriptors_batched(
+        jax.tree.map(lambda a: a[None], cells), cfg, lc)
+    return rk[0], sh[0]
+
+
+def _descriptors_batched(cells: features.CellMap, cfg: CFEARConfig,
+                         lc: LoopCloserConfig):
+    """Descriptors for a (K, M, ...) stack of keyframe cell maps.
+
+    One lane-offset segment-sum per histogram for ALL lanes (XLA
+    serializes vmapped scatters lane by lane; see
+    `features.compute_cells_batched` for the measured cost model)."""
+    valid = cells.valid                                    # (K, M)
+    k, m = valid.shape
     r = jnp.linalg.norm(cells.mean, axis=-1)
-    a = jnp.mod(jnp.arctan2(cells.mean[:, 1], cells.mean[:, 0]),
+    a = jnp.mod(jnp.arctan2(cells.mean[..., 1], cells.mean[..., 0]),
                 2 * jnp.pi)
     max_r = cfg.radar.max_usable_range
     ring = jnp.clip((r / max_r * lc.n_rings).astype(jnp.int32), 0,
                     lc.n_rings - 1)
     sector = jnp.clip((a / (2 * jnp.pi) * lc.n_sectors).astype(jnp.int32), 0,
                       lc.n_sectors - 1)
+    lane = jnp.arange(k, dtype=jnp.int32)[:, None]
     w = jnp.where(valid, cells.nsamples, 0.0)
-    ring_key = jax.ops.segment_sum(w, ring, num_segments=lc.n_rings)
-    sector_hist = jax.ops.segment_sum(w, sector, num_segments=lc.n_sectors)
+    ring_key = jax.ops.segment_sum(
+        w.reshape(-1), (lane * lc.n_rings + ring).reshape(-1),
+        num_segments=k * lc.n_rings).reshape(k, lc.n_rings)
+    sector_hist = jax.ops.segment_sum(
+        w.reshape(-1), (lane * lc.n_sectors + sector).reshape(-1),
+        num_segments=k * lc.n_sectors).reshape(k, lc.n_sectors)
     return ring_key, sector_hist
 
 
-def _cosine_dist(a: np.ndarray, b: np.ndarray) -> float:
-    na = np.linalg.norm(a)
-    nb = np.linalg.norm(b)
-    if na == 0 or nb == 0:
-        return 1.0
-    return float(1.0 - (a @ b) / (na * nb))
-
-
-def _yaw_from_sectors(h_i: np.ndarray, h_j: np.ndarray,
-                      n_sectors: int) -> float:
-    """Relative yaw by circular cross-correlation of sector histograms."""
-    corr = np.fft.irfft(np.fft.rfft(h_i) * np.conj(np.fft.rfft(h_j)),
-                        n=n_sectors)
-    shift = int(np.argmax(corr))
+def _yaws_from_sectors(h_i: np.ndarray, h_j: np.ndarray,
+                       n_sectors: int) -> np.ndarray:
+    """Relative yaw for each row pair by circular cross-correlation of
+    sector histograms — one vectorized FFT over all pairs."""
+    corr = np.fft.irfft(np.fft.rfft(h_i, axis=-1)
+                        * np.conj(np.fft.rfft(h_j, axis=-1)),
+                        n=n_sectors, axis=-1)
+    shift = np.argmax(corr, axis=-1)
     return shift / n_sectors * 2 * np.pi
+
+
+def _next_pow2(n: int, floor: int = 8) -> int:
+    p = floor
+    while p < n:
+        p <<= 1
+    return p
 
 
 class LoopCloser:
@@ -84,73 +112,124 @@ class LoopCloser:
     def __init__(self, cfg: CFEARConfig, lc: LoopCloserConfig | None = None):
         self.cfg = cfg
         self.lc = lc or LoopCloserConfig()
-        self._cells_fn = jax.jit(lambda img: features.compute_cells(
-            filtering.filter_polar_image(img, cfg), cfg))
-        self._desc_fn = jax.jit(lambda c: _descriptors(c, cfg, self.lc))
+        self._desc_fn = jax.jit(
+            lambda c: _descriptors_batched(c, cfg, self.lc))
 
-        def _reg(kf_cells, kf_pose, src_cells, guess):
+        def _reg(kf_cells, src_cells, guess):
             kf = jax.tree.map(lambda a: a[None], kf_cells)
             return registration.register(
-                kf, kf_pose[None, :], jnp.ones(1, bool), src_cells, guess,
-                cfg=cfg)
+                kf, jnp.zeros((1, 3), jnp.float32), jnp.ones(1, bool),
+                src_cells, guess, cfg=cfg)
 
-        self._reg_fn = jax.jit(_reg)
+        # ONE vmapped verification over the whole candidate-pair batch
+        self._reg_batch = jax.jit(jax.vmap(_reg))
+
+    def close_from_graph(self, gb: posegraph.GraphBuilder
+                         ) -> List[Tuple[int, int]]:
+        """Detect + verify loops using ONLY the graph's stored scan
+        payloads (the `.sgh` content); append constraints to `gb`.
+        Returns the accepted (i, j) node pairs."""
+        lc = self.lc
+        n = len(gb.poses)
+        if n == 0:
+            return []
+        if any(s is None for s in gb.scans):
+            raise ValueError(
+                "graph nodes lack scan payloads; build the graph with "
+                "images/cfg or call add_scan_payload per node")
+        m = self.cfg.feature.max_cells
+        stacked = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[posegraph.payload_to_cellmap(s, m) for s in gb.scans])
+        rk, sh = jax.tree.map(np.asarray, self._desc_fn(stacked))
+
+        # proposal: one K x K cosine-distance matrix
+        norms = np.linalg.norm(rk, axis=-1)
+        denom = np.outer(norms, norms)
+        d = 1.0 - np.divide(rk @ rk.T, denom, out=np.ones((n, n)),
+                            where=denom > 0)
+        pairs = []           # (i, j) with j at least min_separation older
+        pair_of = []         # slices of `pairs` per query node i
+        for i in range(n):
+            lim = i - lc.min_keyframe_separation
+            lo = len(pairs)
+            if lim > 0:
+                cand = np.where(d[i, :lim] < lc.max_ring_distance)[0]
+                if cand.size:
+                    order = np.argsort(d[i, cand])[:lc.max_candidates]
+                    pairs.extend((i, int(j)) for j in cand[order])
+            pair_of.append((lo, len(pairs)))
+        if not pairs:
+            return []
+
+        ii = np.asarray([p[0] for p in pairs])
+        jj = np.asarray([p[1] for p in pairs])
+        yaw = _yaws_from_sectors(sh[ii], sh[jj], lc.n_sectors)
+        poses = np.stack(gb.poses)[:, :3]
+        t_odo = np.asarray(se2.relative(jnp.asarray(poses[jj], jnp.float32),
+                                        jnp.asarray(poses[ii], jnp.float32)))
+        # two seeds per pair: odometry translation and zero translation
+        # (odometry may have drifted), both with the correlation yaw
+        guesses = np.concatenate([
+            np.stack([t_odo[:, 0], t_odo[:, 1], -yaw], -1),
+            np.stack([np.zeros_like(yaw), np.zeros_like(yaw), -yaw], -1),
+        ]).astype(np.float32)                       # (2P, 3)
+        kf_idx = np.concatenate([jj, jj])
+        src_idx = np.concatenate([ii, ii])
+
+        # pad the batch to a power-of-two bucket (bounds recompiles) and
+        # run ONE vmapped registration for every candidate & seed
+        p2 = guesses.shape[0]
+        pad = _next_pow2(p2)
+        kf_gather = jnp.asarray(np.concatenate(
+            [kf_idx, np.zeros(pad - p2, np.int64)]))
+        src_gather = jnp.asarray(np.concatenate(
+            [src_idx, np.zeros(pad - p2, np.int64)]))
+        g = jnp.asarray(np.concatenate(
+            [guesses, np.zeros((pad - p2, 3), np.float32)]))
+        res = self._reg_batch(
+            jax.tree.map(lambda a: a[kf_gather], stacked),
+            jax.tree.map(lambda a: a[src_gather], stacked), g)
+        score = np.asarray(res.score)[:p2]
+        success = np.asarray(res.success)[:p2]
+        num_assoc = np.asarray(res.num_assoc)[:p2]
+        rpose = np.asarray(res.pose)[:p2]
+        rcov = np.asarray(res.cov)[:p2]
+
+        accepted = []
+        n_pairs = len(pairs)
+        for i in range(n):
+            lo, hi = pair_of[i]
+            best, best_score = None, np.inf
+            for p in range(lo, hi):
+                for q in (p, p + n_pairs):     # the two seeds
+                    if not success[q]:
+                        continue
+                    if (score[q] < lc.verify_score_max
+                            and num_assoc[q] >= lc.min_assoc
+                            and score[q] < best_score):
+                        best, best_score = q, score[q]
+            if best is not None:
+                j = int(jj[best % n_pairs])
+                gb.add_loop_edge(j, i, rpose[best], rcov[best],
+                                 kind=posegraph.LOOP_APPEARANCE)
+                accepted.append((i, j))
+        return accepted
 
     def close(self, images: np.ndarray, gb: posegraph.GraphBuilder,
               keyframe_frames: List[int]) -> List[Tuple[int, int]]:
         """Detect + verify loops; append constraints to `gb`.
 
         `keyframe_frames[k]` is the sequence frame index of graph node k.
-        Returns the list of accepted (i, j) node pairs.
-        """
-        lc = self.lc
-        cells_list = []
-        ring_keys = []
-        sector_hists = []
-        for f in keyframe_frames:
-            c = self._cells_fn(jnp.asarray(images[f]))
-            rk, sh = self._desc_fn(c)
-            cells_list.append(c)
-            ring_keys.append(np.asarray(rk))
-            sector_hists.append(np.asarray(sh))
-
-        accepted = []
-        n = len(keyframe_frames)
-        for i in range(n):
-            cands = []
-            for j in range(0, i - lc.min_keyframe_separation):
-                d = _cosine_dist(ring_keys[i], ring_keys[j])
-                if d < lc.max_ring_distance:
-                    cands.append((d, j))
-            cands.sort()
-            for d, j in cands[:lc.max_candidates]:
-                yaw = _yaw_from_sectors(sector_hists[i], sector_hists[j],
-                                        lc.n_sectors)
-                # guess: odometry relative pose, yaw refined by correlation
-                t_odo = np.asarray(se2.relative(
-                    jnp.asarray(gb.poses[j]), jnp.asarray(gb.poses[i])))
-                guess = jnp.asarray([t_odo[0], t_odo[1], -yaw], jnp.float32)
-                # translation from odometry may have drifted: try odometry
-                # translation and zero translation
-                best = None
-                for g0 in (guess, jnp.asarray([0.0, 0.0, -yaw], jnp.float32)):
-                    res = self._reg_fn(cells_list[j],
-                                       jnp.zeros(3, jnp.float32),
-                                       cells_list[i], g0)
-                    if not bool(res.success):
-                        continue
-                    if best is None or float(res.score) < float(best.score):
-                        best = res
-                if best is None:
-                    continue
-                if (float(best.score) < lc.verify_score_max
-                        and int(best.num_assoc) >= lc.min_assoc):
-                    gb.add_loop_edge(j, i, np.asarray(best.pose),
-                                     np.asarray(best.cov),
-                                     kind=posegraph.LOOP_APPEARANCE)
-                    accepted.append((i, j))
-                    break
-        return accepted
+        Computes missing scan payloads from the raw images, then runs the
+        batched `close_from_graph` pass."""
+        if any(s is None for s in gb.scans):
+            payloads = posegraph.compute_scan_payloads(
+                images, keyframe_frames, self.cfg)
+            for k, p in enumerate(payloads):
+                if gb.scans[k] is None:
+                    gb.add_scan_payload(k, **p)
+        return self.close_from_graph(gb)
 
 
 def close_and_optimize(images: np.ndarray, outputs, trajectory: np.ndarray,
@@ -161,10 +240,10 @@ def close_and_optimize(images: np.ndarray, outputs, trajectory: np.ndarray,
 
     Returns (optimized node poses (K, 3), graph builder, accepted pairs).
     """
-    gb = posegraph.build_graph_from_odometry(outputs, trajectory, stamps)
-    keyframe_frames = list(np.where(np.asarray(outputs.fused))[0])
+    gb = posegraph.build_graph_from_odometry(outputs, trajectory, stamps,
+                                             images=images, cfg=cfg)
     closer = LoopCloser(cfg, lc)
-    accepted = closer.close(images, gb, keyframe_frames)
+    accepted = closer.close_from_graph(gb)
     graph = gb.to_arrays()
     if mesh is not None:
         from cfear_radarodometry_code_public_tpu.parallel import pgo

@@ -126,24 +126,66 @@ def total_cost(graph: PoseGraph):
 # host-side graph construction / serialization (simple_graph equivalent)
 # ---------------------------------------------------------------------------
 
+#: per-node scan payload fields (the information content of the reference's
+#: serialized `RadarScan`, `types.h:93-143`: peaks cloud + full filtered
+#: cloud + oriented-surface-point map + inter-frame motion)
+SCAN_FIELDS = ("peaks_xy", "peaks_intensity", "cloud_xy", "cloud_intensity",
+               "cell_mean", "cell_normal", "cell_cov", "cell_nsamples",
+               "cell_planarity", "motion")
+
+
 @dataclasses.dataclass
 class GraphBuilder:
-    """Accumulates keyframe poses + constraints; the `.sgh` role is played by
-    an npz archive (`save`/`load`), the hand-off artifact for SLAM back-ends
-    (reference `SaveSimpleGraph`, `types.cpp:103-130`)."""
+    """Accumulates keyframe poses + constraints + scan payloads; the `.sgh`
+    role is played by an npz archive (`save`/`load`), the hand-off artifact
+    for SLAM back-ends (reference `SaveSimpleGraph`, `types.cpp:103-130`).
+    Carries the full information content of the reference's `simple_graph`:
+    per-node `RadarScan` payload (peaks cloud, filtered cloud, cell map,
+    motion; `types.h:93-143`) and per-type constraint accounting with the
+    `ConstraintsHandler` map semantics (`types.cpp:133-226`)."""
 
     poses: list = dataclasses.field(default_factory=list)
     stamps: list = dataclasses.field(default_factory=list)
     gt_poses: list = dataclasses.field(default_factory=list)
     has_gt: list = dataclasses.field(default_factory=list)
     edges: list = dataclasses.field(default_factory=list)  # (i, j, tij, info, type)
+    scans: list = dataclasses.field(default_factory=list)  # dict | None per node
+    # ConstraintsHandler accounting: (type, (min,max)) -> position in edges,
+    # and accumulated odometry translation (`types.cpp:158-160`)
+    _index: dict = dataclasses.field(default_factory=dict)
+    _dist_trav: float = 0.0
 
     def add_node(self, pose, stamp: float = 0.0) -> int:
         self.poses.append(np.asarray(pose, np.float64))
         self.stamps.append(float(stamp))
         self.gt_poses.append(np.zeros(3))
         self.has_gt.append(False)
+        self.scans.append(None)
         return len(self.poses) - 1
+
+    def add_scan_payload(self, node: int, **fields) -> None:
+        """Attach the `RadarScan` content to a node (`types.h:118-122`):
+        peaks_xy/peaks_intensity, cloud_xy/cloud_intensity, cell_* arrays
+        (valid cells only), motion (3,)."""
+        unknown = set(fields) - set(SCAN_FIELDS)
+        if unknown:
+            raise ValueError(f"unknown scan fields {sorted(unknown)}")
+        self.scans[node] = {k: np.asarray(v) for k, v in fields.items()}
+
+    # -- ConstraintsHandler semantics (`types.cpp:133-226`) ----------------
+    def _add_constraint(self, i: int, j: int, t_ij, info, kind: int):
+        if i == j:
+            raise ValueError("self-constraint not allowed (types.cpp:168)")
+        key = (kind, (min(i, j), max(i, j)))
+        edge = (i, j, np.asarray(t_ij, np.float64), info, kind)
+        if kind == ODOMETRY:   # dist_trav accumulates per Add call
+            self._dist_trav += float(np.linalg.norm(edge[2][:2]))
+        pos = self._index.get(key)
+        if pos is None:        # map insert-or-overwrite (`types.cpp:161`)
+            self._index[key] = len(self.edges)
+            self.edges.append(edge)
+        else:
+            self.edges[pos] = edge
 
     def add_odometry_edge(self, i: int, j: int, cov3: np.ndarray):
         """Odometry constraint j -> i with information cov^-1
@@ -151,11 +193,49 @@ class GraphBuilder:
         t_ij = np.asarray(se2.relative(
             jnp.asarray(self.poses[i]), jnp.asarray(self.poses[j])))
         info = np.linalg.inv(cov3 + 1e-12 * np.eye(3))
-        self.edges.append((i, j, t_ij, info, ODOMETRY))
+        self._add_constraint(i, j, t_ij, info, ODOMETRY)
 
     def add_loop_edge(self, i: int, j: int, t_ij, cov3, kind: int = LOOP_APPEARANCE):
         info = np.linalg.inv(np.asarray(cov3) + 1e-12 * np.eye(3))
-        self.edges.append((i, j, np.asarray(t_ij, np.float64), info, kind))
+        self._add_constraint(i, j, t_ij, info, kind)
+
+    def n_constraints(self, kind: int = ODOMETRY) -> int:
+        """`ConstraintsHandler::size` (`types.h:234`)."""
+        return sum(1 for e in self.edges if e[4] == kind)
+
+    def find_constraint(self, i: int, j: int, kind: int = ODOMETRY):
+        """`FindConstraint` (`types.cpp:183-193`): unordered (i, j) lookup."""
+        pos = self._index.get((kind, (min(i, j), max(i, j))))
+        return None if pos is None else self.edges[pos]
+
+    def constraint_exists(self, i: int, j: int, kind: int = ODOMETRY) -> bool:
+        return self.find_constraint(i, j, kind) is not None
+
+    def has_constraint_type(self, node: int, kind: int) -> bool:
+        """`HasConstraintType` (`types.cpp:175-181`)."""
+        return any(e[4] == kind and (e[0] == node or e[1] == node)
+                   for e in self.edges)
+
+    def relative_motion(self, i: int, j: int, kind: int = ODOMETRY):
+        """`RelativeMotion` (`types.cpp:213-222`): identity if absent."""
+        e = self.find_constraint(i, j, kind)
+        return np.zeros(3) if e is None else np.asarray(e[2])
+
+    def relative_distance(self, i: int, j: int) -> float:
+        """`RelativeDistance` (`types.cpp:223-231`): summed odometry-chain
+        translation between the two nodes."""
+        lo, hi = min(i, j), max(i, j)
+        return float(sum(np.linalg.norm(self.relative_motion(k, k + 1)[:2])
+                         for k in range(lo, hi)))
+
+    def distance_traveled(self) -> float:
+        """`DistanceTraveled` (`types.h:236`): mean odometry-edge length."""
+        return self._dist_trav / (0.1 + self.n_constraints(ODOMETRY))
+
+    def to_string(self) -> str:
+        """`ConstraintsHandler::ToString` (`types.cpp:142-144`)."""
+        return (f"odom constraints: {self.n_constraints(ODOMETRY)}, "
+                f"loop constraints: {self.n_constraints(LOOP_APPEARANCE)}\n")
 
     def attach_ground_truth(self, stamps, gt_xyt, tol: float = 1e-4):
         """Match GT poses to nodes by timestamp (`AddGroundTruth`,
@@ -199,8 +279,10 @@ class GraphBuilder:
         )
 
     def save(self, path: str) -> None:
-        np.savez_compressed(
-            path,
+        """Serialize the full simple_graph content (poses, constraints, and
+        per-node scan payloads) to one npz. Ragged per-node arrays are
+        stored concatenated with `<field>_offsets` prefix-sum indices."""
+        payload = dict(
             poses=np.stack(self.poses) if self.poses else np.zeros((0, 3)),
             stamps=np.asarray(self.stamps),
             gt_poses=np.stack(self.gt_poses) if self.gt_poses else np.zeros((0, 3)),
@@ -210,7 +292,20 @@ class GraphBuilder:
             t_ij=np.stack([e[2] for e in self.edges]) if self.edges else np.zeros((0, 3)),
             info=np.stack([e[3] for e in self.edges]) if self.edges else np.zeros((0, 3, 3)),
             edge_type=np.asarray([e[4] for e in self.edges], np.int64),
+            has_scan=np.asarray([s is not None for s in self.scans], bool),
         )
+        if any(s is not None for s in self.scans):
+            for f in SCAN_FIELDS:
+                parts = [s[f] for s in self.scans
+                         if s is not None and f in s]
+                if not parts:
+                    continue
+                lens = [len(s[f]) if s is not None and f in s else 0
+                        for s in self.scans]
+                payload["scan_" + f] = np.concatenate(parts, axis=0)
+                payload["scan_" + f + "_offsets"] = np.concatenate(
+                    [[0], np.cumsum(lens)]).astype(np.int64)
+        np.savez_compressed(path, **payload)
 
     @classmethod
     def load(cls, path: str) -> "GraphBuilder":
@@ -224,21 +319,138 @@ class GraphBuilder:
                     for i, j, t, inf, k in zip(z["edge_i"], z["edge_j"],
                                                z["t_ij"], z["info"],
                                                z["edge_type"])]
+        for pos, e in enumerate(gb.edges):  # rebuild accounting index
+            key = (e[4], (min(e[0], e[1]), max(e[0], e[1])))
+            gb._index.setdefault(key, pos)
+            if e[4] == ODOMETRY:
+                gb._dist_trav += float(np.linalg.norm(e[2][:2]))
+        has_scan = z["has_scan"] if "has_scan" in z.files \
+            else np.zeros(len(gb.poses), bool)
+        gb.scans = [None] * len(gb.poses)
+        for f in SCAN_FIELDS:
+            key = "scan_" + f
+            if key not in z.files:
+                continue
+            flat, offs = z[key], z[key + "_offsets"]
+            for n in range(len(gb.poses)):
+                if not has_scan[n]:
+                    continue
+                if gb.scans[n] is None:
+                    gb.scans[n] = {}
+                gb.scans[n][f] = flat[offs[n]:offs[n + 1]]
         return gb
 
 
-def build_graph_from_odometry(outputs, trajectory_xyt, stamps=None
-                              ) -> GraphBuilder:
+def compute_scan_payloads(images: np.ndarray, frame_ids, cfg,
+                          motions: np.ndarray | None = None) -> list:
+    """Recompute each keyframe's `RadarScan` payload (`types.h:118-122`)
+    from the raw sweeps: peaks cloud, full filtered cloud, oriented
+    surface points (all in the compensated sensor-local frame the pipeline
+    registered with), and the inter-frame motion used for compensation
+    (`motions` (K, 3); zeros disable compensation).
+
+    Runs as ONE jitted hand-batched pass per chunk of keyframes (the
+    feature stage shares a single scatter across lanes)."""
+    import jax
+    import jax.numpy as jnp
+    from cfear_radarodometry_code_public_tpu.ops import features, filtering
+    from cfear_radarodometry_code_public_tpu.utils import se2 as _se2
+
+    frame_ids = list(frame_ids)
+    if motions is None:
+        motions = np.zeros((len(frame_ids), 3), np.float32)
+    motions = np.asarray(motions, np.float32)
+
+    @jax.jit
+    def extract(imgs, tmots):
+        pts = jax.vmap(
+            lambda im: filtering.filter_polar_image(im, cfg))(imgs)
+        if cfg.odometry.compensate:
+            xy = jax.vmap(
+                lambda p, t: _se2.compensate_points(p, t, cfg.radar.ccw))(
+                    pts.xy, tmots)
+            pts = pts._replace(xy=xy)
+        cells = features.compute_cells_batched(pts, cfg)
+        return pts, cells
+
+    payloads = []
+    chunk = 16
+    for lo in range(0, len(frame_ids), chunk):
+        ids = frame_ids[lo:lo + chunk]
+        imgs = jnp.asarray(np.stack([images[f] for f in ids]))
+        pts, cells = extract(imgs, jnp.asarray(motions[lo:lo + chunk]))
+        pts, cells = jax.tree.map(np.asarray, (pts, cells))
+        for n in range(len(ids)):
+            v = pts.valid[n]
+            pk = pts.peak[n]
+            cv = cells.valid[n]
+            payloads.append(dict(
+                peaks_xy=pts.xy[n][pk].astype(np.float32),
+                peaks_intensity=pts.intensity[n][pk].astype(np.float32),
+                cloud_xy=pts.xy[n][v].astype(np.float32),
+                cloud_intensity=pts.intensity[n][v].astype(np.float32),
+                cell_mean=cells.mean[n][cv].astype(np.float32),
+                cell_normal=cells.normal[n][cv].astype(np.float32),
+                cell_cov=cells.cov[n][cv].astype(np.float32),
+                cell_nsamples=cells.nsamples[n][cv].astype(np.float32),
+                cell_planarity=cells.planarity[n][cv].astype(np.float32),
+                motion=motions[lo + n],
+            ))
+    return payloads
+
+
+def payload_to_cellmap(scan: dict, max_cells: int):
+    """Rebuild a fixed-size `CellMap` from a stored scan payload."""
+    import jax.numpy as jnp
+    from cfear_radarodometry_code_public_tpu.ops.features import CellMap
+
+    n = min(len(scan["cell_mean"]), max_cells)
+
+    def pad(a, shape):
+        out = np.zeros((max_cells,) + shape, np.float32)
+        out[:n] = a[:n]
+        return jnp.asarray(out)
+
+    valid = np.zeros(max_cells, bool)
+    valid[:n] = True
+    return CellMap(
+        mean=pad(scan["cell_mean"], (2,)),
+        normal=pad(scan["cell_normal"], (2,)),
+        cov=pad(scan["cell_cov"], (2, 2)),
+        nsamples=pad(scan["cell_nsamples"], ()),
+        planarity=pad(scan["cell_planarity"], ()),
+        valid=jnp.asarray(valid),
+    )
+
+
+def build_graph_from_odometry(outputs, trajectory_xyt, stamps=None,
+                              images=None, cfg=None) -> GraphBuilder:
     """Assemble the odometry pose graph from fuser frame outputs
-    (keyframe nodes + chained odometry constraints)."""
+    (keyframe nodes + chained odometry constraints). With `images` and
+    `cfg`, each node also carries its scan payload (peaks cloud, filtered
+    cloud, cell map, motion), matching the information content of the
+    reference's `.sgh` (`types.h:93-143`)."""
     gb = GraphBuilder()
     fused = np.asarray(outputs.fused)
     covs = np.asarray(outputs.cov, np.float64)
     prev = None
-    for k in np.where(fused)[0]:
+    kf_frames = list(np.where(fused)[0])
+    for k in kf_frames:
         stamp = float(stamps[k]) if stamps is not None else float(k)
         idx = gb.add_node(trajectory_xyt[k], stamp)
         if prev is not None:
             gb.add_odometry_edge(idx, prev, covs[k])
         prev = idx
+    if images is not None and cfg is not None:
+        import jax.numpy as jnp
+        motions = np.zeros((len(kf_frames), 3), np.float32)
+        for n, f in enumerate(kf_frames):
+            if f > 0:
+                motions[n] = np.asarray(se2.relative(
+                    jnp.asarray(trajectory_xyt[f - 1], jnp.float32),
+                    jnp.asarray(trajectory_xyt[f], jnp.float32)))
+        payloads = compute_scan_payloads(images, kf_frames, cfg,
+                                         motions=motions)
+        for n, p in enumerate(payloads):
+            gb.add_scan_payload(n, **p)
     return gb

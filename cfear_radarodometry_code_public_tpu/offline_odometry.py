@@ -68,8 +68,10 @@ def load_sequence(args, cfg):
     """Returns (images (T, A, R) uint8, stamps (T,), gt (T,3) or None)."""
     from cfear_radarodometry_code_public_tpu.datasets import oxford, synthetic
     if args.dataset == "synthetic":
-        images, gt = synthetic.make_sequence(args.seed, args.n_frames, cfg,
-                                             speed=args.speed)
+        images, gt = synthetic.make_sequence(
+            args.seed, args.n_frames, cfg, speed=args.speed,
+            n_dynamic=args.n_dynamic, dropout_prob=args.dropout_prob,
+            speckle_burst_prob=args.speckle_burst_prob)
         stamps = np.arange(len(images)) * cfg.radar.sensor_period
         return images, stamps, gt
     frames = (oxford.oxford_frames(args.radar_dir) if args.dataset == "oxford"
@@ -168,6 +170,13 @@ def main(argv=None):
     ap.add_argument("--n-frames", type=int, default=None)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--speed", type=float, default=6.0)
+    # adversarial synthetic-world knobs (`datasets/synthetic.py`)
+    ap.add_argument("--n-dynamic", type=int, default=0,
+                    help="moving objects in the synthetic world")
+    ap.add_argument("--dropout-prob", type=float, default=0.0,
+                    help="per-frame azimuth-wedge dropout probability")
+    ap.add_argument("--speckle-burst-prob", type=float, default=0.0,
+                    help="per-frame interference-burst probability")
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--ingest", choices=("image", "host"), default="image",
@@ -247,7 +256,11 @@ def main(argv=None):
                       covs=covs, gt_xyt=gt)
 
     if args.save_graph:
-        gb = posegraph.build_graph_from_odometry(out, traj, stamps)
+        # images+cfg attach the per-keyframe RadarScan payload (peaks cloud,
+        # filtered cloud, cell map, motion) — the `.sgh` information content
+        # the downstream SLAM pass consumes (`types.h:93-143`)
+        gb = posegraph.build_graph_from_odometry(out, traj, stamps,
+                                                 images=images, cfg=cfg)
         if gt is not None:
             gb.attach_ground_truth(stamps, gt, tol=1e-3)
         gb.save(os.path.join(args.output_dir, "simple_graph.npz"))

@@ -66,3 +66,52 @@ def test_descriptors_rotation_invariant_ring_key():
     a, b = np.asarray(rk0), np.asarray(rk1)
     cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
     assert cos > 0.999
+
+
+def test_loop_closure_from_loaded_graph_500_frames(tmp_path):
+    """Scaling + artifact-parity flagship: a 500-frame loop sequence is
+    closed FROM THE SAVED GRAPH ALONE (stored scan payloads, no raw
+    images), with batched descriptors and ONE vmapped verification batch;
+    pose-graph optimization must improve the loop-end ATE."""
+    import time
+
+    from cfear_radarodometry_code_public_tpu.models import posegraph
+
+    cfg = _cfg()
+    cfg = cfg.replace(radar=dataclasses.replace(
+        cfg.radar, n_bins=512, range_res=0.35))
+    n = 500
+    images, gt = synthetic.make_sequence(seed=77, n_frames=n, cfg=cfg,
+                                         speed=3.0, trajectory="loop")
+    runner = odometry.OdometryRunner(cfg, chunk=50)
+    runner.process(images)
+    traj = runner.trajectory()
+    out = runner.frame_outputs()
+
+    gb = posegraph.build_graph_from_odometry(out, traj, images=images,
+                                             cfg=cfg)
+    path = str(tmp_path / "simple_graph.npz")
+    gb.save(path)
+
+    gb2 = posegraph.GraphBuilder.load(path)      # scans round-trip
+    lc = loopclosure.LoopCloserConfig(min_keyframe_separation=30,
+                                      max_ring_distance=0.4,
+                                      max_candidates=3,
+                                      verify_score_max=0.2, min_assoc=30)
+    closer = loopclosure.LoopCloser(cfg, lc)
+    t0 = time.time()
+    accepted = closer.close_from_graph(gb2)      # no images involved
+    close_s = time.time() - t0
+    assert len(accepted) >= 1, "no loops found on a 500-frame closed loop"
+    for i, j in accepted:
+        assert i - j >= 30
+    # batched pass: must not degenerate to per-pair host dispatches
+    assert close_s < 120.0, f"loop closure took {close_s:.0f}s"
+
+    graph = gb2.to_arrays()
+    opt, _ = posegraph.optimize(graph, iters=15)
+    kf_frames = np.where(np.asarray(out.fused))[0]
+    gt_end = gt[kf_frames[-1], :2]
+    raw_err = np.linalg.norm(traj[kf_frames[-1], :2] - gt_end)
+    opt_err = np.linalg.norm(np.asarray(opt.poses)[-1, :2] - gt_end)
+    assert opt_err < raw_err, (opt_err, raw_err)

@@ -105,3 +105,62 @@ def test_distributed_matches_single_device():
     c_s = float(posegraph.total_cost(single))
     c_d = float(posegraph.total_cost(dist))
     assert abs(c_s - c_d) < 0.05 * max(c_s, 1e-6)
+
+
+def test_scan_payload_roundtrip_and_accounting(tmp_path):
+    """The npz carries the full `.sgh` information content: per-node
+    RadarScan payload (`types.h:93-143`) + ConstraintsHandler map
+    semantics (`types.cpp:133-226`)."""
+    rng = np.random.default_rng(6)
+    gb, _ = _noisy_ring_graph(rng, n=6)
+    for k in range(6):
+        npk, ncl, ncell = 5 + k, 20 + k, 3 + k
+        gb.add_scan_payload(
+            k,
+            peaks_xy=rng.normal(size=(npk, 2)).astype(np.float32),
+            peaks_intensity=rng.uniform(60, 255, npk).astype(np.float32),
+            cloud_xy=rng.normal(size=(ncl, 2)).astype(np.float32),
+            cloud_intensity=rng.uniform(60, 255, ncl).astype(np.float32),
+            cell_mean=rng.normal(size=(ncell, 2)).astype(np.float32),
+            cell_normal=rng.normal(size=(ncell, 2)).astype(np.float32),
+            cell_cov=rng.normal(size=(ncell, 2, 2)).astype(np.float32),
+            cell_nsamples=rng.uniform(6, 30, ncell).astype(np.float32),
+            cell_planarity=rng.uniform(0, 3, ncell).astype(np.float32),
+            motion=np.asarray([1.0, 0.0, 0.01], np.float32),
+        )
+    path = str(tmp_path / "graph.npz")
+    gb.save(path)
+    gb2 = posegraph.GraphBuilder.load(path)
+    for k in range(6):
+        for f in posegraph.SCAN_FIELDS:
+            np.testing.assert_allclose(gb2.scans[k][f], gb.scans[k][f],
+                                       err_msg=f"node {k} field {f}")
+    # constraint accounting (ConstraintsHandler semantics)
+    assert gb2.n_constraints(posegraph.ODOMETRY) == 5
+    assert gb2.n_constraints(posegraph.LOOP_APPEARANCE) == 1
+    assert gb2.constraint_exists(0, 5, posegraph.LOOP_APPEARANCE)
+    assert gb2.constraint_exists(5, 0, posegraph.LOOP_APPEARANCE)  # unordered
+    assert not gb2.constraint_exists(0, 3, posegraph.LOOP_APPEARANCE)
+    assert gb2.has_constraint_type(5, posegraph.LOOP_APPEARANCE)
+    assert not gb2.has_constraint_type(2, posegraph.LOOP_APPEARANCE)
+    assert gb2.to_string().startswith("odom constraints: 5")
+    assert gb2.distance_traveled() > 0
+    # map overwrite: re-adding the same (i, j, type) replaces, not appends
+    n_edges = len(gb2.edges)
+    gb2.add_loop_edge(5, 0, np.asarray([0.1, 0.0, 0.0]), np.eye(3))
+    assert len(gb2.edges) == n_edges
+    np.testing.assert_allclose(
+        gb2.find_constraint(0, 5, posegraph.LOOP_APPEARANCE)[2],
+        [0.1, 0.0, 0.0])
+    # relative_motion / relative_distance over the odometry chain
+    t01 = gb2.relative_motion(0, 1)
+    assert np.linalg.norm(t01[:2]) > 1.0
+    assert gb2.relative_distance(0, 3) > 3 * 1.5
+
+
+def test_self_constraint_rejected():
+    gb = posegraph.GraphBuilder()
+    gb.add_node(np.zeros(3))
+    import pytest
+    with pytest.raises(ValueError, match="self-constraint"):
+        gb.add_loop_edge(0, 0, np.zeros(3), np.eye(3))
