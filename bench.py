@@ -56,6 +56,12 @@ def main():
                     help="host: native data-plane filter + candidate "
                          "transfer (production pipeline); image: raw sweeps "
                          "to device")
+    ap.add_argument("--preset", default="CFEAR-3",
+                    help="config preset (e.g. CFEAR-3-s50 for the 50-scan "
+                         "submap, the reference's best-accuracy mode)")
+    ap.add_argument("--efficiency", action="store_true",
+                    help="also report batch-1 vs batch-N per-chip scaling "
+                         "efficiency in the JSON")
     args = ap.parse_args()
 
     if args.quick:
@@ -82,7 +88,7 @@ def main():
         # Oxford-scale flagship config (CFEAR-3). while-loop solver is the
         # fastest single-sequence mode on this hardware (unrolled/batched
         # variants measured slower; see git history)
-        cfg = preset("CFEAR-3", dataset="oxford")
+        cfg = preset(args.preset, dataset="oxford")
         if args.fused_lm:
             cfg = cfg.replace(registration=dataclasses.replace(
                 cfg.registration, use_fused_lm=True))
@@ -221,6 +227,35 @@ def main():
               f"-> median {fps_b:.1f} fps/chip", file=sys.stderr)
         fps = max(fps, fps_b)
 
+    eff = {}
+    if args.batch and args.efficiency:
+        # batch-1 through the SAME batched code path: the per-lane cost
+        # baseline for on-chip batching efficiency (how much of the chip a
+        # single sequence already saturates)
+        states1 = jax.tree.map(lambda a: a[:1], states0)
+        blocks1 = [jax.tree.map(lambda a: a[:1], blk) for blk in blocks]
+        st, o1 = run_chunk_b(states1, blocks1[0])
+        np.asarray(o1.pose)
+        rep1 = []
+        for _ in range(args.repeats):
+            t0 = time.time()
+            st = states1
+            for blk in blocks1:
+                st, o1 = run_chunk_b(st, blk)
+            np.asarray(o1.pose)
+            rep1.append(n_timed / (time.time() - t0))
+        fps_b1 = float(np.median(rep1))
+        eff = {
+            "batch1_fps": round(fps_b1, 2),
+            "batchN_fps": round(fps_b, 2),
+            "batchN": b,
+            # aggregate speedup from co-scheduling N sequences on one chip;
+            # ~1.0 means a single sequence already saturates the chip
+            "batch_speedup": round(fps_b / fps_b1, 3),
+        }
+        print(f"batched x1 (same path): {fps_b1:.1f} fps -> "
+              f"x{b} speedup {fps_b / fps_b1:.2f}", file=sys.stderr)
+
     if args.check_drift:
         from cfear_radarodometry_code_public_tpu.eval.kitti import kitti_drift
         runner = odometry.OdometryRunner(cfg, chunk=args.chunk,
@@ -241,6 +276,7 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 4.0, 2),
+        **eff,
     }))
 
 

@@ -111,9 +111,12 @@ class RegistrationConfig:
     soft_constraint: bool = False
     covariance_scaler: float = 30.0  # Censi-style scaling (`n_scan_normal.cpp:418`)
     disable_registration: bool = False
-    # Pallas single-kernel inner LM solve: numerically verified and fast
-    # standalone, but the axon remote-compile service takes pathologically
-    # long on programs embedding the kernel inside scan/while; off by default
+    # Pallas single-kernel inner LM solve (bounded in-kernel fori_loop —
+    # the while_loop variant stalled the remote compiler inside lax.scan;
+    # the fori variant compiles in ~30 s and runs the full pipeline at
+    # ~418 fps vs ~450 fps for the packed-XLA while-loop path, because it
+    # always pays max_itr_solver iterations). Off by default: equal-or-
+    # slower than packed XLA on this hardware, kept as a working option.
     use_fused_lm: bool = False
     # unroll the LM and outer association loops into straight-line masked
     # code: identical results, no loop-sync overhead — but always pays max

@@ -113,6 +113,11 @@ def write_pars(path, cfg, args, timing, extra):
                         f"{getattr(obj, field.name)}\n")
         f.write(f"preset, {cfg.name}\n")
         f.write(f"dataset, {args.dataset}\n")
+        f.write(f"seed, {args.seed}\n")
+        f.write(f"speed, {args.speed}\n")
+        f.write(f"n_dynamic, {args.n_dynamic}\n")
+        f.write(f"dropout_prob, {args.dropout_prob}\n")
+        f.write(f"speckle_burst_prob, {args.speckle_burst_prob}\n")
         for k, v in extra.items():
             f.write(f"{k}, {v}\n")
         f.write(timing.csv() + "\n")

@@ -72,10 +72,16 @@ def pack_associations(src_mean, tgt, assoc_weight, cfg: CFEARConfig):
     return jnp.stack([sx, sy, mx, my, w, r5, r6, r7])
 
 
-def _lm_core(rows, px0, py0, pt0, cfg: CFEARConfig):
+def _lm_core(rows, px0, py0, pt0, cfg: CFEARConfig, bounded: bool = False):
     """The trust-region LM loop over packed rows — pure jnp, shared by the
     Pallas kernel (rows = VMEM vectors) and the XLA fallback (rows = arrays).
-    Returns (px, py, pt, cost, steps_f32, last_rel)."""
+    Returns (px, py, pt, cost, steps_f32, last_rel).
+
+    `bounded=True` replaces the data-dependent `lax.while_loop` with a
+    fixed-trip `lax.fori_loop` whose converged state is frozen by masking —
+    identical results, but a STATIC loop the Mosaic/remote compiler
+    handles inside a kernel (the while_loop variant stalls it when the
+    kernel is embedded in lax.scan)."""
     reg = cfg.registration
     cost_metric = reg.cost
     sx, sy, mx, my, w, r5, r6, r7 = rows
@@ -202,7 +208,16 @@ def _lm_core(rows, px0, py0, pt0, cfg: CFEARConfig):
             jnp.float32(1e4), jnp.float32(2.0),
             jnp.int32(0), jnp.int32(0), jnp.float32(jnp.inf),
             jnp.asarray(False))
-    if reg.unroll_solver:
+    if bounded:
+        def fbody(_, carry):
+            new = body(carry)
+            done = carry[11]
+            return jax.tree.map(
+                lambda c, n: jnp.where(done, c, n), carry, new)
+
+        carry = jax.lax.fori_loop(0, reg.max_itr_solver, fbody, init)
+        (px, py, pt, cost, g, h, radius, dec, itr, steps, lastrel, done) = carry
+    elif reg.unroll_solver:
         # straight-line masked iterations: identical results to the while
         # loop (converged state is frozen), but no per-iteration loop sync
         # and no cross-lane lockstep under vmap
@@ -221,8 +236,11 @@ def _lm_core(rows, px0, py0, pt0, cfg: CFEARConfig):
 
 def _lm_kernel(data_ref, init_ref, out_ref, *, cfg: CFEARConfig):
     rows = tuple(data_ref[i, :] for i in range(8))
+    # bounded fori_loop: the in-kernel while_loop variant stalls the remote
+    # compiler when this kernel sits inside a lax.scan'd step
     px, py, pt, cost, steps_f, lastrel = _lm_core(
-        rows, init_ref[0, 0], init_ref[0, 1], init_ref[0, 2], cfg)
+        rows, init_ref[0, 0], init_ref[0, 1], init_ref[0, 2], cfg,
+        bounded=True)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     out = jnp.where(lane == 0, px,
           jnp.where(lane == 1, py,

@@ -70,14 +70,18 @@ def run_sweep(output_root: str, grid: Dict[str, Sequence],
 
 def merge(output_root: str, csv_path: str) -> int:
     """Join every job's pars.txt + est/result.txt into one CSV
-    (merge_eval.py equivalent, `launch/oxford/eval/merge_eval.py:15-73`)."""
+    (merge_eval.py equivalent, `launch/oxford/eval/merge_eval.py:15-73`).
+    Walks nested roots, so multi-grid / multi-seed sweeps merge in one
+    pass; the `job` column is the directory path relative to the root."""
+    jobs = []
+    for dirpath, dirnames, filenames in os.walk(output_root):
+        if os.path.basename(dirpath).startswith("job_") \
+                and "pars.txt" in filenames:
+            jobs.append(dirpath)
     rows = []
-    for name in sorted(os.listdir(output_root)):
-        job_dir = os.path.join(output_root, name)
+    for job_dir in sorted(jobs):
         pars = os.path.join(job_dir, "pars.txt")
-        if not name.startswith("job_") or not os.path.exists(pars):
-            continue
-        row = {"job": name}
+        row = {"job": os.path.relpath(job_dir, output_root)}
         with open(pars) as f:
             for line in f:
                 if ", " in line:

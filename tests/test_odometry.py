@@ -176,3 +176,26 @@ def test_batched_step_matches_single_steps():
     for s in range(b):
         np.testing.assert_allclose(np.asarray(stb.t_prev[s]),
                                    np.asarray(states[s].t_prev), atol=1e-5)
+
+
+def test_large_submap_s16():
+    """CFEAR-3-s50-style large submaps (`oxford_demo:57-66`): S=16 keyframe
+    window with Cauchy loss runs end-to-end and tracks at least as well as
+    the S=4 default on the same sequence."""
+    cfg4 = _cfg()
+    cfg16 = cfg4.replace(
+        odometry=dataclasses.replace(cfg4.odometry, submap_scan_size=16,
+                                     keyframe_min_dist=0.5),
+        registration=dataclasses.replace(cfg4.registration, loss="Cauchy"))
+    images, gt = synthetic.make_sequence(seed=15, n_frames=40, cfg=cfg4,
+                                         speed=6.0)
+    errs = {}
+    for name, cfg in (("s4", cfg4), ("s16", cfg16)):
+        runner = odometry.OdometryRunner(cfg, chunk=8)
+        runner.process(images)
+        out = runner.frame_outputs()
+        assert bool(out.success.all()), name
+        errs[name] = ate_rmse(runner.trajectory()[:, :2], gt[:, :2])
+    # deep submap fills past S=4: keyframe count must exceed the window
+    assert int(out.fused.sum()) > 16
+    assert errs["s16"] < max(2.0 * errs["s4"], 0.3)

@@ -297,3 +297,29 @@ def test_pallas_assoc_backend_matches_dense():
                                np.asarray(results["pallas"].pose), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(results["dense"].num_assoc),
                                   np.asarray(results["pallas"].num_assoc))
+
+
+def test_fused_lm_matches_packed_xla():
+    """The fused Pallas LM kernel (bounded fori_loop variant, interpreter
+    mode on CPU) returns the same pose as the packed-XLA while-loop path."""
+    import dataclasses
+
+    rng = np.random.default_rng(31)
+    true_pose = np.array([1.2, 0.4, 0.03])
+    cfg = _cfg("P2L", "Huber", "Combined")
+    cfg_f = cfg.replace(registration=dataclasses.replace(
+        cfg.registration, use_fused_lm=True))
+    xy, intens = _world_cloud(rng)
+    kf_cells = _stack_keyframes(
+        [_cells_from_world(xy, intens, np.zeros(3), cfg)])
+    kf_poses = jnp.zeros((1, 3), jnp.float32)
+    kf_valid = jnp.ones(1, bool)
+    src = _cells_from_world(xy, intens, true_pose, cfg)
+    guess = jnp.asarray(true_pose + [0.3, -0.2, 0.02], jnp.float32)
+    r_x = registration.register(kf_cells, kf_poses, kf_valid, src, guess,
+                                cfg=cfg)
+    r_f = registration.register(kf_cells, kf_poses, kf_valid, src, guess,
+                                cfg=cfg_f)
+    assert bool(r_x.success) and bool(r_f.success)
+    np.testing.assert_allclose(np.asarray(r_f.pose), np.asarray(r_x.pose),
+                               atol=1e-4)
