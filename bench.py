@@ -62,6 +62,8 @@ def main():
     ap.add_argument("--efficiency", action="store_true",
                     help="also report batch-1 vs batch-N per-chip scaling "
                          "efficiency in the JSON")
+    ap.add_argument("--point-budget", type=int, default=0,
+                    help="feature.point_budget row compaction (0 = off)")
     args = ap.parse_args()
 
     if args.quick:
@@ -92,6 +94,9 @@ def main():
         if args.fused_lm:
             cfg = cfg.replace(registration=dataclasses.replace(
                 cfg.registration, use_fused_lm=True))
+        if args.point_budget:
+            cfg = cfg.replace(feature=dataclasses.replace(
+                cfg.feature, point_budget=args.point_budget))
 
     dev = jax.devices()[0]
     print(f"device: {dev}, config: {cfg.name} "

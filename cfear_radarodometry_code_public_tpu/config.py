@@ -79,6 +79,12 @@ class FeatureConfig:
     max_cells: int = 2048            # fixed-size compacted cell budget per scan
     use_raw_pointcloud: bool = False # ablation: identity cell per point (`pointnormal.h:62`)
     max_cells_raw: int = 4096        # cell budget in raw-pointcloud mode
+    # optional input compaction: gather the valid points into a fixed budget
+    # of P rows before the feature scatters (the (A, k) candidate array is
+    # mostly-invalid slots; scatter/gather cost on this TPU is row-bound).
+    # 0 = off. Results are IDENTICAL as long as the valid count stays under
+    # the budget; on overflow the latest-azimuth points are dropped.
+    point_budget: int = 0
 
 
 @dataclass(frozen=True)

@@ -34,7 +34,11 @@ def build_config(args):
         cfg.filter,
         **{k: v for k, v in dict(
             k_strongest=args.k_strongest, z_min=args.z_min,
-            method=args.filter_type).items() if v is not None})
+            method=args.filter_type, cfar_window=args.cfar_window,
+            cfar_guard=args.cfar_guard,
+            false_alarm_rate=args.false_alarm_rate,
+            cfar_max_per_azimuth=args.cfar_max_per_azimuth).items()
+           if v is not None})
     feat = dataclasses.replace(
         cfg.feature,
         **{k: v for k, v in dict(
@@ -203,6 +207,14 @@ def main(argv=None):
     ap.add_argument("--z_min", type=int, default=None)
     ap.add_argument("--filter_type", default=None,
                     choices=[None, "kstrong", "cacfar"])
+    # CA-CFAR surface as proper flags (the reference reuses --k_strongest /
+    # --covar_scale / --regularization for nb_guard_cells / window_size /
+    # false_alarm_rate, `offline_odometry.cpp:260-265` — a hack not worth
+    # reproducing)
+    ap.add_argument("--cfar_window", type=int, default=None)
+    ap.add_argument("--cfar_guard", type=int, default=None)
+    ap.add_argument("--false_alarm_rate", type=float, default=None)
+    ap.add_argument("--cfar_max_per_azimuth", type=int, default=None)
     ap.add_argument("--submap_scan_size", type=int, default=None)
     ap.add_argument("--min_keyframe_dist", type=float, default=None)
     ap.add_argument("--min_keyframe_rot_deg", type=float, default=None)

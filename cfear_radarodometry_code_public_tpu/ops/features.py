@@ -101,6 +101,16 @@ def compute_cells_batched(points: PointCloud, cfg: CFEARConfig) -> CellMap:
     feat = cfg.feature
     leaf, dim, noff = _grid_geometry(cfg)
     ncells = dim * dim
+    p = feat.point_budget
+    if p and p < points.xy.shape[1]:
+        # row compaction: every scatter/gather below is row-bound, and the
+        # (A, k) candidate array is typically majority invalid slots
+        order = jnp.argsort(~points.valid, axis=-1, stable=True)[:, :p]
+        points = PointCloud(
+            xy=jnp.take_along_axis(points.xy, order[..., None], axis=1),
+            intensity=jnp.take_along_axis(points.intensity, order, axis=1),
+            valid=jnp.take_along_axis(points.valid, order, axis=1),
+            peak=jnp.take_along_axis(points.peak, order, axis=1))
     xy = points.xy                                            # (B, N, 2)
     b, n_pts = xy.shape[0], xy.shape[1]
     valid = points.valid                                      # (B, N)

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-_TS = 256            # source rows per grid step
+_TS = 256            # source rows per grid step (512 measured slower: 479.8 vs 486.6 fps batched)
 
 
 def _nn_kernel(sx_ref, sy_ref, tx_ref, ty_ref, mask_ref, nn_ref, d2_ref):

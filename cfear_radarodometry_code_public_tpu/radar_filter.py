@@ -27,6 +27,9 @@ def main(argv=None):
                     choices=["kstrong", "cacfar"])
     ap.add_argument("--k_strongest", type=int, default=None)
     ap.add_argument("--z_min", type=int, default=None)
+    ap.add_argument("--cfar_window", type=int, default=None)
+    ap.add_argument("--cfar_guard", type=int, default=None)
+    ap.add_argument("--false_alarm_rate", type=float, default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -45,7 +48,11 @@ def main(argv=None):
     cfg = preset("CFEAR-3", dataset=args.dataset)
     over = {k: v for k, v in dict(method=args.filter_type,
                                   k_strongest=args.k_strongest,
-                                  z_min=args.z_min).items() if v is not None}
+                                  z_min=args.z_min,
+                                  cfar_window=args.cfar_window,
+                                  cfar_guard=args.cfar_guard,
+                                  false_alarm_rate=args.false_alarm_rate
+                                  ).items() if v is not None}
     cfg = cfg.replace(filter=dataclasses.replace(cfg.filter, **over))
 
     if args.dataset == "synthetic":

@@ -69,3 +69,23 @@ def test_checkpoint_resume(tmp_path):
     resumed = odometry.OdometryRunner.resume(cfg, ckpt, chunk=6)
     resumed.process(images[6:])
     np.testing.assert_allclose(resumed.trajectory(), ref, atol=1e-5)
+
+
+def test_scaling_efficiency_tool():
+    """tools/scaling_efficiency.py: 2 pinned workers, one JSON line."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "scaling_efficiency.py"),
+         "--n-frames", "8"],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["metric"] == "scaling_efficiency_2worker_proxy"
+    if res["value"] is not None:          # >=2 cores available
+        assert 0.2 < res["value"] <= 1.5, res

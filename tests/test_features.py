@@ -164,3 +164,29 @@ def test_compute_cells_batched_matches_per_lane():
             np.testing.assert_allclose(
                 np.asarray(getattr(got, f)[i]), np.asarray(getattr(ref, f)),
                 atol=1e-5, err_msg=f"lane {i} field {f}")
+
+
+def test_point_budget_compaction_identical():
+    """feature.point_budget compaction: identical cells while the valid
+    count fits the budget."""
+    from cfear_radarodometry_code_public_tpu.datasets import synthetic
+    from cfear_radarodometry_code_public_tpu.ops import filtering
+
+    cfg = _cfg()
+    rng = np.random.default_rng(3)
+    world = synthetic.make_world(rng)
+    img = synthetic.render_polar(world, np.zeros(3), cfg, rng)
+    pts = filtering.filter_polar_image(jnp.asarray(img), cfg)
+    n_valid = int(np.asarray(pts.valid).sum())
+    budget = ((n_valid + 255) // 256 + 1) * 256
+    cfg_b = cfg.replace(feature=dataclasses.replace(
+        cfg.feature, point_budget=budget))
+    c0 = features.compute_cells(pts, cfg)
+    c1 = features.compute_cells(pts, cfg_b)
+    assert int(c0.n) == int(c1.n)
+    v0, v1 = np.asarray(c0.valid), np.asarray(c1.valid)
+    m0 = np.asarray(c0.mean)[v0]
+    m1 = np.asarray(c1.mean)[v1]
+    key0 = np.lexsort((m0[:, 1], m0[:, 0]))
+    key1 = np.lexsort((m1[:, 1], m1[:, 0]))
+    np.testing.assert_allclose(m0[key0], m1[key1], atol=1e-5)

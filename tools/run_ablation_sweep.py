@@ -38,6 +38,9 @@ def main(argv=None):
     ap.add_argument("--seeds", default="11,12,13")
     ap.add_argument("--n-frames", type=int, default=150)
     ap.add_argument("--speed", type=float, default=12.0)
+    ap.add_argument("--max-cells", type=int, default=1024,
+                    help="cell budget for sweep jobs (1024: the calibrated "
+                         "trend regime, ~3x faster per CPU job than 3072)")
     ap.add_argument("--n-workers", type=int, default=1)
     ap.add_argument("--worker-index", type=int, default=0)
     args = ap.parse_args(argv)
@@ -47,6 +50,7 @@ def main(argv=None):
             "--speed", str(args.speed),
             "--n-dynamic", "40", "--dropout-prob", "0.5",
             "--speckle-burst-prob", "0.4",
+            "--max_cells", str(args.max_cells),
             "--chunk", "25", "--no-save-graph"]
     t0 = time.time()
     n_jobs = 0
