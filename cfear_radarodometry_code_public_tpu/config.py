@@ -184,6 +184,42 @@ class CFEARConfig:
     def replace(self, **kw) -> "CFEARConfig":
         return dataclasses.replace(self, **kw)
 
+    # -- file round-trip (the reference's 3-layer param plumbing collapses
+    # to one dataclass tree + CLI + YAML/JSON files; SURVEY.md §5) ---------
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "CFEARConfig":
+        return cls(
+            radar=RadarConfig(**d.get("radar", {})),
+            filter=FilterConfig(**d.get("filter", {})),
+            feature=FeatureConfig(**d.get("feature", {})),
+            registration=RegistrationConfig(**d.get("registration", {})),
+            odometry=OdometryConfig(**d.get("odometry", {})),
+            name=d.get("name", "custom"),
+        )
+
+    def save(self, path: str) -> None:
+        import json
+        with open(path, "w") as f:
+            if path.endswith((".yaml", ".yml")):
+                import yaml
+                yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+            else:
+                json.dump(self.to_dict(), f, indent=1)
+
+    @classmethod
+    def load(cls, path: str) -> "CFEARConfig":
+        import json
+        with open(path) as f:
+            if path.endswith((".yaml", ".yml")):
+                import yaml
+                d = yaml.safe_load(f)
+            else:
+                d = json.load(f)
+        return cls.from_dict(d)
+
 
 def _dataset_radar(dataset: str) -> RadarConfig:
     """Radar geometry per dataset (reference launch files)."""

@@ -216,6 +216,56 @@ class LoopCloser:
                 accepted.append((i, j))
         return accepted
 
+    def add_mini_loops(self, gb: posegraph.GraphBuilder,
+                       max_separation: int = 3) -> List[Tuple[int, int]]:
+        """Densify the graph with MINI_LOOP constraints (`types.h:150-190`):
+        registrations between temporally CLOSE keyframe pairs (separation
+        2..max_separation — separation 1 is the odometry chain), seeded
+        with the odometry relative pose. One vmapped registration batch for
+        every pair; accepted pairs get `MINI_LOOP` edges. These short-range
+        shortcuts stiffen the odometry chain so a distant loop closure
+        doesn't fold the trajectory at weak links."""
+        lc = self.lc
+        n = len(gb.poses)
+        if any(s is None for s in gb.scans):
+            raise ValueError("mini loops need scan payloads on every node")
+        pairs = [(i, i - sep) for sep in range(2, max_separation + 1)
+                 for i in range(sep, n)]
+        if not pairs:
+            return []
+        m = self.cfg.feature.max_cells
+        stacked = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[posegraph.payload_to_cellmap(s, m) for s in gb.scans])
+        ii = np.asarray([p[0] for p in pairs])
+        jj = np.asarray([p[1] for p in pairs])
+        poses = np.stack(gb.poses)[:, :3]
+        guesses = np.asarray(se2.relative(
+            jnp.asarray(poses[jj], jnp.float32),
+            jnp.asarray(poses[ii], jnp.float32)))
+        p2 = len(pairs)
+        pad = _next_pow2(p2)
+        kf_gather = jnp.asarray(np.concatenate(
+            [jj, np.zeros(pad - p2, np.int64)]))
+        src_gather = jnp.asarray(np.concatenate(
+            [ii, np.zeros(pad - p2, np.int64)]))
+        g = jnp.asarray(np.concatenate(
+            [guesses, np.zeros((pad - p2, 3), np.float32)]))
+        res = self._reg_batch(
+            jax.tree.map(lambda a: a[kf_gather], stacked),
+            jax.tree.map(lambda a: a[src_gather], stacked), g)
+        success = np.asarray(res.success)[:p2]
+        num_assoc = np.asarray(res.num_assoc)[:p2]
+        rpose = np.asarray(res.pose)[:p2]
+        rcov = np.asarray(res.cov)[:p2]
+        accepted = []
+        for p in range(p2):
+            if success[p] and num_assoc[p] >= lc.min_assoc:
+                gb.add_loop_edge(int(jj[p]), int(ii[p]), rpose[p], rcov[p],
+                                 kind=posegraph.MINI_LOOP)
+                accepted.append((int(ii[p]), int(jj[p])))
+        return accepted
+
     def close(self, images: np.ndarray, gb: posegraph.GraphBuilder,
               keyframe_frames: List[int]) -> List[Tuple[int, int]]:
         """Detect + verify loops; append constraints to `gb`.
@@ -235,7 +285,8 @@ class LoopCloser:
 def close_and_optimize(images: np.ndarray, outputs, trajectory: np.ndarray,
                        cfg: CFEARConfig, stamps=None,
                        lc: LoopCloserConfig | None = None,
-                       iters: int = 15, mesh=None):
+                       iters: int = 15, mesh=None,
+                       mini_loops: bool = False):
     """Full SLAM pass: build graph from odometry, close loops, optimize.
 
     Returns (optimized node poses (K, 3), graph builder, accepted pairs).
@@ -244,6 +295,8 @@ def close_and_optimize(images: np.ndarray, outputs, trajectory: np.ndarray,
                                              images=images, cfg=cfg)
     closer = LoopCloser(cfg, lc)
     accepted = closer.close_from_graph(gb)
+    if mini_loops:
+        closer.add_mini_loops(gb)
     graph = gb.to_arrays()
     if mesh is not None:
         from cfear_radarodometry_code_public_tpu.parallel import pgo

@@ -28,8 +28,11 @@ import numpy as np
 
 
 def build_config(args):
-    from cfear_radarodometry_code_public_tpu.config import preset
-    cfg = preset(args.preset, dataset=args.dataset)
+    from cfear_radarodometry_code_public_tpu.config import CFEARConfig, preset
+    if getattr(args, "config_file", None):
+        cfg = CFEARConfig.load(args.config_file)   # YAML/JSON base config
+    else:
+        cfg = preset(args.preset, dataset=args.dataset)
     filt = dataclasses.replace(
         cfg.filter,
         **{k: v for k, v in dict(
@@ -172,6 +175,9 @@ def main(argv=None):
                     choices=["synthetic", "oxford", "mulran", "kvarntorp",
                              "volvo"])
     ap.add_argument("--preset", default="CFEAR-3")
+    ap.add_argument("--config-file", default=None,
+                    help="YAML/JSON config file as the base (overrides "
+                         "--preset; flag overrides still apply on top)")
     ap.add_argument("--radar-dir", default=None)
     ap.add_argument("--gt-csv", default=None)
     ap.add_argument("--output-dir", "--est_directory", default="/tmp/cfear_run")

@@ -89,3 +89,25 @@ def test_scaling_efficiency_tool():
     assert res["metric"] == "scaling_efficiency_2worker_proxy"
     if res["value"] is not None:          # >=2 cores available
         assert 0.2 < res["value"] <= 1.5, res
+
+
+def test_config_file_roundtrip(tmp_path):
+    """YAML/JSON config round-trip + --config-file as the CLI base."""
+    from cfear_radarodometry_code_public_tpu.config import CFEARConfig, preset
+
+    cfg = preset("CFEAR-2", dataset="mulran")
+    for ext in ("yaml", "json"):
+        p = str(tmp_path / f"cfg.{ext}")
+        cfg.save(p)
+        back = CFEARConfig.load(p)
+        assert back == cfg, ext
+    p = str(tmp_path / "cfg.yaml")
+    out = str(tmp_path / "run3")
+    offline_odometry.main(
+        ["--dataset", "synthetic", "--n-frames", "6", "--cpu", "--chunk", "6",
+         "--config-file", p, "--max_cells", "256", "--k_strongest", "8",
+         "--no-save-graph", "--output-dir", out])
+    pars = open(os.path.join(out, "pars.txt")).read()
+    # base comes from the file (CFEAR-2: submap 3), override applies on top
+    assert "odometry.submap_scan_size, 3" in pars
+    assert "filter.k_strongest, 8" in pars

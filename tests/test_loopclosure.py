@@ -115,3 +115,31 @@ def test_loop_closure_from_loaded_graph_500_frames(tmp_path):
     raw_err = np.linalg.norm(traj[kf_frames[-1], :2] - gt_end)
     opt_err = np.linalg.norm(np.asarray(opt.poses)[-1, :2] - gt_end)
     assert opt_err < raw_err, (opt_err, raw_err)
+
+
+def test_mini_loop_constraints():
+    """MINI_LOOP densification (`types.h:150-190`): short-range keyframe
+    registrations become extra constraints; optimization still improves."""
+    from cfear_radarodometry_code_public_tpu.models import posegraph
+
+    cfg = _cfg()
+    images, gt = synthetic.make_sequence(seed=51, n_frames=40, cfg=cfg,
+                                         speed=5.0, trajectory="loop")
+    runner = odometry.OdometryRunner(cfg, chunk=8)
+    runner.process(images)
+    traj = runner.trajectory()
+    out = runner.frame_outputs()
+    gb = posegraph.build_graph_from_odometry(out, traj, images=images,
+                                             cfg=cfg)
+    closer = loopclosure.LoopCloser(cfg, loopclosure.LoopCloserConfig(
+        min_assoc=30))
+    accepted = closer.add_mini_loops(gb, max_separation=3)
+    assert len(accepted) >= 3
+    n_mini = gb.n_constraints(posegraph.MINI_LOOP)
+    assert n_mini == len(accepted)
+    for i, j in accepted:
+        assert 2 <= i - j <= 3
+    # the graph still optimizes sanely with the extra constraints
+    graph = gb.to_arrays()
+    opt, _ = posegraph.optimize(graph, iters=8)
+    assert np.isfinite(np.asarray(opt.poses)).all()
