@@ -236,14 +236,19 @@ def make_loop_trajectory(n_frames: int, dt: float = 0.25,
 def make_sequence(seed: int, n_frames: int, cfg, speed: float = 5.0,
                   noise_scale: float = 12.0, trajectory: str = "random",
                   n_dynamic: int = 0, dropout_prob: float = 0.0,
-                  speckle_burst_prob: float = 0.0, extent: float = 160.0):
+                  speckle_burst_prob: float = 0.0, extent: float = 160.0,
+                  n_walls: int | None = None, n_scatterers: int | None = None):
     """Full synthetic sequence: (images (T, A, R) uint8, gt_poses (T, 3)).
 
     The adversarial knobs (`n_dynamic` moving objects, azimuth-wedge
     `dropout_prob`, `speckle_burst_prob`) harden the world beyond the
     static, occlusion-light default — see `render_polar`."""
     rng = np.random.default_rng(seed)
-    world = make_world(rng, n_dynamic=n_dynamic, extent=extent)
+    # keep world density roughly constant when the extent grows
+    scale = (extent / 160.0) ** 2
+    world = make_world(rng, n_dynamic=n_dynamic, extent=extent,
+                       n_walls=n_walls or max(18, int(18 * scale)),
+                       n_scatterers=n_scatterers or max(250, int(250 * scale)))
     if trajectory == "loop":
         gt = make_loop_trajectory(n_frames, dt=cfg.radar.sensor_period,
                                   speed=speed)

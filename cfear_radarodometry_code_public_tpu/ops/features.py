@@ -104,8 +104,11 @@ def compute_cells_batched(points: PointCloud, cfg: CFEARConfig) -> CellMap:
     p = feat.point_budget
     if p and p < points.xy.shape[1]:
         # row compaction: every scatter/gather below is row-bound, and the
-        # (A, k) candidate array is typically majority invalid slots
-        order = jnp.argsort(~points.valid, axis=-1, stable=True)[:, :p]
+        # (A, k) candidate array carries many invalid slots. Overflow policy:
+        # drop the WEAKEST-intensity points (their feature weight
+        # max(I-60, 0) is smallest), never an azimuth wedge.
+        key = jnp.where(points.valid, points.intensity, -1.0)
+        order = jnp.argsort(-key, axis=-1)[:, :p]
         points = PointCloud(
             xy=jnp.take_along_axis(points.xy, order[..., None], axis=1),
             intensity=jnp.take_along_axis(points.intensity, order, axis=1),
