@@ -62,8 +62,12 @@ def main():
     ap.add_argument("--efficiency", action="store_true",
                     help="also report batch-1 vs batch-N per-chip scaling "
                          "efficiency in the JSON")
-    ap.add_argument("--point-budget", type=int, default=0,
-                    help="feature.point_budget row compaction (0 = off)")
+    ap.add_argument("--point-budget", type=int, default=8192,
+                    help="feature.point_budget row compaction (0 = off). "
+                         "8192 with weakest-intensity overflow drop "
+                         "measured 540 vs 487 fps/chip batched AND better "
+                         "drift (0.142%% vs 0.157%% — the dropped weak "
+                         "returns are mostly speckle)")
     args = ap.parse_args()
 
     if args.quick:
