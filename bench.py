@@ -62,6 +62,10 @@ def main():
     ap.add_argument("--efficiency", action="store_true",
                     help="also report batch-1 vs batch-N per-chip scaling "
                          "efficiency in the JSON")
+    ap.add_argument("--max-cells", type=int, default=0,
+                    help="override feature.max_cells (0 = preset value); "
+                         "results identical while the valid-cell count "
+                         "stays under the budget")
     ap.add_argument("--point-budget", type=int, default=8192,
                     help="feature.point_budget row compaction (0 = off). "
                          "8192 with weakest-intensity overflow drop "
@@ -101,6 +105,9 @@ def main():
         if args.point_budget:
             cfg = cfg.replace(feature=dataclasses.replace(
                 cfg.feature, point_budget=args.point_budget))
+        if args.max_cells:
+            cfg = cfg.replace(feature=dataclasses.replace(
+                cfg.feature, max_cells=args.max_cells))
 
     dev = jax.devices()[0]
     print(f"device: {dev}, config: {cfg.name} "

@@ -338,25 +338,33 @@ class OdometryRunner:
         start = 0
         if t and not bool(self.state.initialized):
             self.state, out0 = self.bootstrap(self.state, frame(0))
-            self.outputs.append(jax.tree.map(
-                lambda a: np.asarray(a)[None], out0))
+            self.outputs.append(jax.tree.map(lambda a: a[None], out0))
             start = 1
         n_full = start + ((t - start) // self.chunk) * self.chunk
+        # chunk outputs stay ON DEVICE until trajectory()/frame_outputs():
+        # fetching per chunk would sync the dispatch pipeline and pay the
+        # host-link round-trip once per leaf per chunk (30 ms RTT on the
+        # remote-TPU tunnel); deferred, the whole run is async-chained and
+        # everything comes back in one stacked transfer.
         for i in range(start, n_full, self.chunk):
             self.state, out = self.run_chunk(self.state,
                                              part(i, i + self.chunk))
-            self.outputs.append(jax.tree.map(np.asarray, out))
+            self.outputs.append(out)
         for i in range(n_full, t):  # ragged tail: single jitted steps
             self.state, out = self.step(self.state, frame(i))
-            self.outputs.append(jax.tree.map(
-                lambda a: np.asarray(a)[None], out))
+            self.outputs.append(jax.tree.map(lambda a: a[None], out))
+
+    def _materialize(self) -> None:
+        self.outputs = [jax.tree.map(np.asarray, o) for o in self.outputs]
 
     def trajectory(self) -> np.ndarray:
+        self._materialize()
         out = jax.tree.map(lambda *xs: np.concatenate(xs), *self.outputs)
         self._last = out
         return compose_trajectory(out)
 
     def frame_outputs(self) -> FrameOutput:
+        self._materialize()
         return jax.tree.map(lambda *xs: np.concatenate(xs), *self.outputs)
 
     # -- checkpoint / resume (SURVEY.md §5: the reference only saves its
