@@ -341,15 +341,32 @@ class OdometryRunner:
             self.outputs.append(jax.tree.map(lambda a: a[None], out0))
             start = 1
         n_full = start + ((t - start) // self.chunk) * self.chunk
-        # chunk outputs stay ON DEVICE until trajectory()/frame_outputs():
-        # fetching per chunk would sync the dispatch pipeline and pay the
-        # host-link round-trip once per leaf per chunk (30 ms RTT on the
-        # remote-TPU tunnel); deferred, the whole run is async-chained and
-        # everything comes back in one stacked transfer.
-        for i in range(start, n_full, self.chunk):
-            self.state, out = self.run_chunk(self.state,
-                                             part(i, i + self.chunk))
+        # Streaming discipline (the bench pipeline, built in):
+        # - uploads run on a FEEDER THREAD so the host->device transfer of
+        #   chunk i+1 overlaps the device compute of chunk i;
+        # - chunk outputs stay ON DEVICE until trajectory()/frame_outputs()
+        #   (a per-chunk fetch would sync the dispatch pipeline and pay the
+        #   host-link round-trip once per leaf per chunk — 30 ms RTT on the
+        #   remote-TPU tunnel); everything returns in one stacked transfer.
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=2)
+
+        def feeder():
+            for i in range(start, n_full, self.chunk):
+                q.put(part(i, i + self.chunk))
+            q.put(None)
+
+        th = threading.Thread(target=feeder, daemon=True)
+        th.start()
+        while True:
+            dev_in = q.get()
+            if dev_in is None:
+                break
+            self.state, out = self.run_chunk(self.state, dev_in)
             self.outputs.append(out)
+        th.join()
         for i in range(n_full, t):  # ragged tail: single jitted steps
             self.state, out = self.step(self.state, frame(i))
             self.outputs.append(jax.tree.map(lambda a: a[None], out))
