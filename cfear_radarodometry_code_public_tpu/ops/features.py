@@ -245,8 +245,11 @@ def compute_cells_batched(points: PointCloud, cfg: CFEARConfig) -> CellMap:
     planarity = jnp.log1p(cond / 2.0)
 
     # --- compaction to the fixed cell budget ---
+    # valid cells first; on overflow keep the MOST-SUPPORTED cells (largest
+    # nsamples) rather than a spatial band of voxel ids
     m = feat.max_cells
-    order = jnp.argsort(~cell_ok, axis=-1, stable=True)   # valid cells first
+    order = jnp.argsort(
+        -jnp.where(cell_ok, nsamp + 1.0, 0.0), axis=-1)
     take = order[..., :m]                                 # (B, m)
 
     def take1(a):
