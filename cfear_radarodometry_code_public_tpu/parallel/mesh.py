@@ -44,7 +44,13 @@ def make_batched_runner(cfg: CFEARConfig, mesh: Mesh, axis: str = "data",
     partitioning that stays collective-free). `ingest="candidates"` consumes
     host-filtered candidate sets (`native_io.filter_frames_host`).
     """
-    from jax.experimental.shard_map import shard_map
+    import functools
+    try:
+        from jax import shard_map as _sm       # jax >= 0.8 (check_vma kw)
+        shard_map = functools.partial(_sm, check_vma=False)
+    except ImportError:                        # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _sm
+        shard_map = functools.partial(_sm, check_rep=False)
 
     stepb = odometry.make_batched_step(cfg, ingest)
     bootstrap = odometry.make_bootstrap(cfg, ingest)
@@ -71,8 +77,7 @@ def make_batched_runner(cfg: CFEARConfig, mesh: Mesh, axis: str = "data",
     chunk_sharded = shard_map(
         _chunk_local, mesh=mesh,
         in_specs=(P(axis), P(None, axis)),
-        out_specs=(P(axis), P(None, axis)),
-        check_rep=False)
+        out_specs=(P(axis), P(None, axis)))
 
     @jax.jit
     def step_chunk(states, images):
