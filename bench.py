@@ -86,7 +86,8 @@ def main():
     from cfear_radarodometry_code_public_tpu.config import preset
     from cfear_radarodometry_code_public_tpu.datasets import synthetic
     from cfear_radarodometry_code_public_tpu.models import odometry
-    from cfear_radarodometry_code_public_tpu.ops.filtering import Candidates
+    from cfear_radarodometry_code_public_tpu.ops.filtering import (
+        Candidates, CompactCandidates)
     from cfear_radarodometry_code_public_tpu.utils import native_io
 
     if args.quick:
@@ -125,13 +126,24 @@ def main():
                                          cfg=sim_cfg, speed=6.0)
     print(f"synthetic render: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    kind = "candidates" if args.ingest == "host" else "image"
+    kind = "image"
+    if args.ingest == "host":
+        # the point-budget config ships fully compacted rows (bit-identical
+        # results, no device-side sort — ~2 ms per batched step saved)
+        kind = "compact" if cfg.feature.point_budget else "candidates"
     run_chunk = odometry.make_chunk_runner(cfg, kind)
     bootstrap = jax.jit(odometry.make_bootstrap(cfg, kind))
 
     f = cfg.filter
+    import math as _math
+    min_bin = int(_math.ceil(cfg.radar.min_distance / cfg.radar.range_res))
 
     def host_filter(imgs):
+        if kind == "compact":
+            b, a, i, p = native_io.filter_frames_host_compact(
+                imgs, f.k_strongest, f.z_min, f.nms_window,
+                cfg.feature.point_budget, min_bin)
+            return CompactCandidates(bins=b, azimuth=a, intensity=i, peak=p)
         b, i, p = native_io.filter_frames_host(imgs, f.k_strongest, f.z_min,
                                                f.nms_window)
         return Candidates(bins=b, intensity=i, peak=p)

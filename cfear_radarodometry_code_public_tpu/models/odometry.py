@@ -113,8 +113,13 @@ def _extract_cells(state: OdometryState, inp, cfg: CFEARConfig,
     `ingest="image"`: `inp` is the raw (A, R) uint8 polar sweep, filtered on
     device. `ingest="candidates"`: `inp` is a `filtering.Candidates` set
     pre-filtered by the host data plane (`native_io.filter_frames_host`) —
-    identical downstream results, ~25x fewer bytes over the device link."""
-    if ingest == "candidates":
+    identical downstream results, ~25x fewer bytes over the device link.
+    `ingest="compact"`: `inp` is a `filtering.CompactCandidates` row set,
+    additionally point-budget-compacted on the host — bit-identical
+    downstream results, and the device-side budget sort is skipped."""
+    if ingest == "compact":
+        pts = filtering.points_from_compact(inp, cfg)
+    elif ingest == "candidates":
         pts = filtering.points_from_candidates(inp, cfg)
     else:
         pts = filtering.filter_polar_image(inp, cfg)
@@ -231,7 +236,10 @@ def make_batched_step(cfg: CFEARConfig, ingest: str = "image"):
 
     def stepb(states: OdometryState, inputs
               ) -> tuple[OdometryState, FrameOutput]:
-        if ingest == "candidates":
+        if ingest == "compact":
+            pts = jax.vmap(
+                lambda c: filtering.points_from_compact(c, cfg))(inputs)
+        elif ingest == "candidates":
             pts = jax.vmap(
                 lambda c: filtering.points_from_candidates(c, cfg))(inputs)
         else:
@@ -302,7 +310,12 @@ class OdometryRunner:
         self.cfg = cfg
         self.chunk = chunk
         self.ingest = ingest
-        kind = "candidates" if ingest == "host" else "image"
+        kind = "image"
+        if ingest == "host":
+            # the k-strongest path with a point budget uses the fully
+            # compacted row ingest (bit-identical results, no device sort)
+            kind = ("compact" if cfg.filter.method != "cacfar"
+                    and cfg.feature.point_budget else "candidates")
         self.run_chunk = make_chunk_runner(cfg, kind)
         self.step = jax.jit(make_step(cfg, kind))
         self.bootstrap = jax.jit(make_bootstrap(cfg, kind))
@@ -314,10 +327,17 @@ class OdometryRunner:
         if self.ingest != "host":
             return images
         from cfear_radarodometry_code_public_tpu.ops.filtering import (
-            Candidates)
+            Candidates, CompactCandidates)
         from cfear_radarodometry_code_public_tpu.utils import native_io
         if self.cfg.filter.method == "cacfar":
             b, i, p = native_io.cfar_filter_frames_host(images, self.cfg)
+        elif self.cfg.feature.point_budget:
+            f, radar = self.cfg.filter, self.cfg.radar
+            min_bin = int(math.ceil(radar.min_distance / radar.range_res))
+            b, a, i, p = native_io.filter_frames_host_compact(
+                images, f.k_strongest, f.z_min, f.nms_window,
+                self.cfg.feature.point_budget, min_bin)
+            return CompactCandidates(bins=b, azimuth=a, intensity=i, peak=p)
         else:
             b, i, p = native_io.filter_frames_host(
                 images, self.cfg.filter.k_strongest, self.cfg.filter.z_min,

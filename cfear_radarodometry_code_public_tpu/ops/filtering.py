@@ -218,6 +218,46 @@ def points_from_candidates(cand: Candidates, cfg: CFEARConfig) -> PointCloud:
                            if cfg.filter.method == "cacfar" else "kstrong")
 
 
+class CompactCandidates(NamedTuple):
+    """Point-budget-compacted candidate rows (production host ingest).
+
+    Produced by the native data plane
+    (`utils/native_io.py:filter_frames_host_compact`): exactly P =
+    feature.point_budget rows per frame, selected by (intensity desc, flat
+    index asc) with the min-range gate applied — the identical set and order
+    the device-side compaction in `ops/features.py` produces, so the
+    downstream pipeline is bit-identical while skipping the on-device sort.
+    One frame is (P,) per field."""
+
+    bins: jax.Array        # int16 — selected range bins, -1 for padding
+    azimuth: jax.Array     # int16 — source azimuth row of each candidate
+    intensity: jax.Array   # uint8
+    peak: jax.Array        # uint8 — axial-NMS peak flag
+
+
+def points_from_compact(cand: CompactCandidates,
+                        cfg: CFEARConfig) -> PointCloud:
+    """Device-side half of the compacted ingest: rows -> point cloud.
+
+    Identical xy/intensity/valid/peak values (same formulas on the same
+    (bin, azimuth) integers) as `points_from_candidates` followed by the
+    feature-stage point_budget compaction; the min-range bin gate
+    (`radar_filters.cpp:324-330`) was already applied on the host."""
+    radar = cfg.radar
+    bins = cand.bins.astype(jnp.int32)
+    valid = bins >= 0
+    theta = (cand.azimuth.astype(jnp.int32) + 1).astype(jnp.float32) \
+        / radar.n_azimuths * (2.0 * jnp.pi)
+    rng = (jnp.maximum(bins, 0).astype(jnp.float32) + 0.5) * radar.range_res
+    xy = jnp.stack([rng * jnp.cos(theta), rng * jnp.sin(theta)], -1)
+    return PointCloud(
+        xy=xy,
+        intensity=cand.intensity.astype(jnp.float32),
+        valid=valid,
+        peak=valid & cand.peak.astype(bool),
+    )
+
+
 def intensity_filter(pc: PointCloud, threshold: float = 50.0,
                      min_range: float = 0.0, max_range: float = 150.0
                      ) -> PointCloud:

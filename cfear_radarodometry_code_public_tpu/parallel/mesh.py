@@ -98,7 +98,10 @@ class MultiSequenceRunner:
         self.chunk = chunk
         self.ingest = ingest
         self.mesh = mesh or make_mesh()
-        kind = "candidates" if ingest == "host" else "image"
+        kind = "image"
+        if ingest == "host":
+            kind = ("compact" if cfg.filter.method != "cacfar"
+                    and cfg.feature.point_budget else "candidates")
         (self.init_fn, self.step_chunk, self.shard_batch,
          self.bootstrap_batch) = make_batched_runner(cfg, self.mesh,
                                                      ingest=kind)
@@ -110,13 +113,24 @@ class MultiSequenceRunner:
         if self.ingest != "host":
             return images
         from cfear_radarodometry_code_public_tpu.ops.filtering import (
-            Candidates)
+            Candidates, CompactCandidates)
         from cfear_radarodometry_code_public_tpu.utils import native_io
         f = self.cfg.filter
         b, t = images.shape[:2]
         flat = images.reshape((-1,) + images.shape[2:])
         if f.method == "cacfar":
             bi, it, pk = native_io.cfar_filter_frames_host(flat, self.cfg)
+        elif self.cfg.feature.point_budget:
+            import math
+            radar = self.cfg.radar
+            min_bin = int(math.ceil(radar.min_distance / radar.range_res))
+            bi, az, it, pk = native_io.filter_frames_host_compact(
+                flat, f.k_strongest, f.z_min, f.nms_window,
+                self.cfg.feature.point_budget, min_bin)
+            shp = (b, t) + bi.shape[1:]
+            return CompactCandidates(
+                bins=bi.reshape(shp), azimuth=az.reshape(shp),
+                intensity=it.reshape(shp), peak=pk.reshape(shp))
         else:
             bi, it, pk = native_io.filter_frames_host(
                 flat, f.k_strongest, f.z_min, f.nms_window)

@@ -83,6 +83,13 @@ def _load_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_float, ctypes.c_float,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int]
+            lib.cfear_budget_compact.restype = None
+            lib.cfear_budget_compact.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int]
             _lib = lib
         except Exception:
             _lib_failed = True
@@ -242,6 +249,85 @@ def _filter_frames_numpy(images, k, z_min, w, bins, intens, peaks):
     peaks[...] = np.where(
         valid, np.take_along_axis(is_peak, np.maximum(b, 0), axis=-1),
         False).astype(np.uint8)
+
+
+def budget_compact_host(bins: np.ndarray, intens: np.ndarray,
+                        peaks: np.ndarray, budget: int, min_bin: int,
+                        n_threads: int = 8
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                   np.ndarray]:
+    """Compact (T, A, K) candidate sets to exactly `budget` rows per frame.
+
+    Selection and output order: (intensity descending, flat azimuth-major
+    index ascending) among candidates passing the `bin > min_bin` range gate
+    — the identical set AND order the device-side point_budget compaction
+    produces (`ops/features.py`: stable argsort of -intensity over the
+    flattened cloud whose validity includes the min-range gate of
+    `radar_filters.cpp:324-330`), so downstream results are bit-identical.
+    Returns (bins (T, P) int16 with -1 padding, azimuths (T, P) int16,
+    intensities (T, P) uint8, peaks (T, P) uint8).
+    """
+    squeeze = bins.ndim == 2
+    if squeeze:
+        bins, intens, peaks = bins[None], intens[None], peaks[None]
+    t, a, k = bins.shape
+    bins = np.ascontiguousarray(bins, np.int16)
+    intens = np.ascontiguousarray(intens, np.uint8)
+    peaks = np.ascontiguousarray(peaks, np.uint8)
+    ob = np.empty((t, budget), np.int16)
+    oa = np.empty((t, budget), np.int16)
+    oi = np.empty((t, budget), np.uint8)
+    op = np.empty((t, budget), np.uint8)
+    lib = _load_lib()
+    if lib is not None:
+        lib.cfear_budget_compact(
+            bins.ctypes.data_as(ctypes.c_void_p),
+            intens.ctypes.data_as(ctypes.c_void_p),
+            peaks.ctypes.data_as(ctypes.c_void_p), t, a, k, budget, min_bin,
+            ob.ctypes.data_as(ctypes.c_void_p),
+            oa.ctypes.data_as(ctypes.c_void_p),
+            oi.ctypes.data_as(ctypes.c_void_p),
+            op.ctypes.data_as(ctypes.c_void_p), n_threads)
+    else:
+        _budget_compact_numpy(bins, intens, peaks, budget, min_bin,
+                              ob, oa, oi, op)
+    if squeeze:
+        return ob[0], oa[0], oi[0], op[0]
+    return ob, oa, oi, op
+
+
+def _budget_compact_numpy(bins, intens, peaks, budget, min_bin,
+                          ob, oa, oi, op):
+    """Vectorized NumPy fallback with identical selection semantics."""
+    t, a, k = bins.shape
+    gate = bins > min_bin                        # covers the -1 padding too
+    key = np.where(gate, intens.astype(np.int32), -1).reshape(t, a * k)
+    order = np.argsort(-key, axis=-1, kind="stable")[:, :budget]
+    sel_key = np.take_along_axis(key, order, axis=-1)
+    valid = sel_key >= 0
+    flat = lambda x: x.reshape(t, a * k)
+    ob[...] = np.where(valid, np.take_along_axis(flat(bins), order, -1), -1)
+    oa[...] = np.where(valid, (order // k).astype(np.int16), 0)
+    oi[...] = np.where(valid, np.take_along_axis(flat(intens), order, -1), 0)
+    op[...] = np.where(valid, np.take_along_axis(flat(peaks), order, -1), 0)
+
+
+def filter_frames_host_compact(images: np.ndarray, k: int, z_min: int,
+                               nms_window: int, budget: int, min_bin: int,
+                               n_threads: int = 8
+                               ) -> Tuple[np.ndarray, np.ndarray,
+                                          np.ndarray, np.ndarray]:
+    """k-strongest filter + point-budget compaction in one host pass.
+
+    The production data-plane ingest: (T, A, R) uint8 sweeps -> (T, budget)
+    compacted candidate rows (bins, azimuths, intensities, peak flags).
+    Removes the device-side argsort compaction (~2 ms per batched step on
+    TPU v5e) and carries ~25% fewer bytes over the link than the (A, K)
+    candidate form."""
+    bins, intens, peaks = filter_frames_host(images, k, z_min, nms_window,
+                                             n_threads)
+    return budget_compact_host(bins, intens, peaks, budget, min_bin,
+                               n_threads)
 
 
 def cfar_filter_frames_host(images: np.ndarray, cfg, n_threads: int = 8

@@ -418,7 +418,101 @@ void cfar_rows(const uint8_t* images, int64_t r, int kc, int win, int guard,
 
 }  // namespace
 
+// ---------------- point-budget compaction ----------------
+//
+// Reduces a frame's (A, K) candidate set to exactly `budget` rows, selected
+// by (intensity descending, flat azimuth-major index ascending) among
+// candidates that pass the min-range bin gate — the same set AND order the
+// device-side row compaction produces (`ops/features.py` point_budget:
+// stable argsort of -intensity over the flattened (A*K) cloud whose
+// validity already includes the `bin > min_bin` gate of
+// `radar_filters.cpp:324-330`). Doing it on the host removes a ~2 ms
+// device-side sort per batched step and shrinks the link transfer.
+// Counting sort by intensity: O(A*K + 256) per frame.
+
+namespace {
+
+void budget_frames(const int16_t* bins, const uint8_t* intens,
+                   const uint8_t* peaks, int64_t a, int64_t k, int budget,
+                   int min_bin, int16_t* out_bins, int16_t* out_az,
+                   uint8_t* out_intens, uint8_t* out_peaks,
+                   int64_t frame_begin, int64_t frame_end) {
+  const int64_t n = a * k;
+  for (int64_t f = frame_begin; f < frame_end; ++f) {
+    const int16_t* fb = bins + f * n;
+    const uint8_t* fi = intens + f * n;
+    const uint8_t* fp = peaks + f * n;
+    int16_t* ob = out_bins + f * budget;
+    int16_t* oa = out_az + f * budget;
+    uint8_t* oi = out_intens + f * budget;
+    uint8_t* op = out_peaks + f * budget;
+    // pass 1: histogram of gated candidates
+    int32_t hist[256] = {0};
+    for (int64_t i = 0; i < n; ++i)
+      if (fb[i] > min_bin) hist[fi[i]]++;
+    // per-intensity output start offsets, filling from the strongest down
+    int32_t start[256];
+    int32_t quota[256];
+    int32_t used = 0;
+    for (int v = 255; v >= 0; --v) {
+      start[v] = used;
+      int32_t q = hist[v];
+      if (used + q > budget) q = budget - used;
+      quota[v] = q;
+      used += q;
+    }
+    // pass 2: place candidates in (intensity desc, flat asc) order
+    int32_t remaining = used;
+    for (int64_t i = 0; i < n && remaining > 0; ++i) {
+      if (fb[i] <= min_bin) continue;
+      const int v = fi[i];
+      if (quota[v] <= 0) continue;
+      const int32_t pos = start[v]++;
+      quota[v]--;
+      remaining--;
+      ob[pos] = fb[i];
+      oa[pos] = static_cast<int16_t>(i / k);
+      oi[pos] = fi[i];
+      op[pos] = fp[i];
+    }
+    // pad
+    for (int32_t i = used; i < budget; ++i) {
+      ob[i] = -1;
+      oa[i] = 0;
+      oi[i] = 0;
+      op[i] = 0;
+    }
+  }
+}
+
+}  // namespace
+
 extern "C" {
+
+// candidates (T, A, K) -> (T, budget) compacted rows.
+void cfear_budget_compact(const int16_t* bins, const uint8_t* intens,
+                          const uint8_t* peaks, int64_t t, int64_t a,
+                          int64_t k, int budget, int min_bin,
+                          int16_t* out_bins, int16_t* out_az,
+                          uint8_t* out_intens, uint8_t* out_peaks,
+                          int n_threads) {
+  if (n_threads <= 1 || t < 2) {
+    budget_frames(bins, intens, peaks, a, k, budget, min_bin, out_bins,
+                  out_az, out_intens, out_peaks, 0, t);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t per = (t + n_threads - 1) / n_threads;
+  for (int i = 0; i < n_threads; ++i) {
+    int64_t lo = i * per;
+    int64_t hi = lo + per > t ? t : lo + per;
+    if (lo >= hi) break;
+    threads.emplace_back(budget_frames, bins, intens, peaks, a, k, budget,
+                         min_bin, out_bins, out_az, out_intens, out_peaks,
+                         lo, hi);
+  }
+  for (auto& th : threads) th.join();
+}
 
 // images: (T, A, R) uint8. Outputs: (T, A, Kc) int16 / uint8 / uint8.
 void cfear_cfar_filter_frames(const uint8_t* images, int64_t t, int64_t a,

@@ -102,6 +102,79 @@ def test_host_filter_native_matches_numpy_fallback():
     np.testing.assert_array_equal(p1, p2)
 
 
+def test_budget_compact_matches_device_selection_order():
+    """Host compaction must reproduce the device point_budget selection:
+    (intensity desc, flat azimuth-major index asc) among range-gated
+    candidates — set AND order (`ops/features.py` stable argsort)."""
+    rng = np.random.default_rng(3)
+    t, a, k, p, min_bin = 4, 32, 12, 96, 5
+    bins = rng.integers(-1, 128, (t, a, k)).astype(np.int16)
+    intens = rng.integers(0, 90, (t, a, k), dtype=np.uint8)  # many ties
+    peaks = rng.integers(0, 2, (t, a, k), dtype=np.uint8)
+    ob, oa, oi, op = native_io.budget_compact_host(bins, intens, peaks,
+                                                   p, min_bin)
+    # oracle: the device-side formulation
+    gate = bins > min_bin
+    key = np.where(gate, intens.astype(np.int32), -1).reshape(t, a * k)
+    order = np.argsort(-key, axis=-1, kind="stable")[:, :p]
+    sel = np.take_along_axis(key, order, axis=-1)
+    valid = sel >= 0
+    np.testing.assert_array_equal(
+        ob, np.where(valid, np.take_along_axis(
+            bins.reshape(t, -1), order, -1), -1))
+    np.testing.assert_array_equal(
+        oa, np.where(valid, order // k, 0))
+    np.testing.assert_array_equal(
+        oi, np.where(valid, np.take_along_axis(
+            intens.reshape(t, -1), order, -1), 0))
+    np.testing.assert_array_equal(
+        op, np.where(valid, np.take_along_axis(
+            peaks.reshape(t, -1), order, -1), 0))
+
+
+def test_budget_compact_native_matches_numpy_fallback():
+    rng = np.random.default_rng(5)
+    t, a, k, p, min_bin = 3, 16, 8, 40, 2
+    bins = rng.integers(-1, 64, (t, a, k)).astype(np.int16)
+    intens = rng.integers(0, 255, (t, a, k), dtype=np.uint8)
+    peaks = rng.integers(0, 2, (t, a, k), dtype=np.uint8)
+    ob1 = np.empty((t, p), np.int16)
+    oa1 = np.empty((t, p), np.int16)
+    oi1 = np.empty((t, p), np.uint8)
+    op1 = np.empty((t, p), np.uint8)
+    native_io._budget_compact_numpy(bins, intens, peaks, p, min_bin,
+                                    ob1, oa1, oi1, op1)
+    ob2, oa2, oi2, op2 = native_io.budget_compact_host(bins, intens, peaks,
+                                                       p, min_bin)
+    np.testing.assert_array_equal(ob1, ob2)
+    np.testing.assert_array_equal(oa1, oa2)
+    np.testing.assert_array_equal(oi1, oi2)
+    np.testing.assert_array_equal(op1, op2)
+
+
+def test_compact_pipeline_matches_image_pipeline():
+    """Compacted host ingest (point_budget rows) must produce identical
+    odometry to on-device filtering + on-device budget compaction."""
+    import dataclasses
+
+    from cfear_radarodometry_code_public_tpu.config import preset
+    from cfear_radarodometry_code_public_tpu.datasets import synthetic
+    from cfear_radarodometry_code_public_tpu.models.odometry import (
+        OdometryRunner)
+
+    cfg = preset("CFEAR-3", dataset="synthetic")
+    cfg = cfg.replace(feature=dataclasses.replace(cfg.feature,
+                                                  point_budget=512))
+    images, _ = synthetic.make_sequence(seed=23, n_frames=10, cfg=cfg)
+    r_img = OdometryRunner(cfg, chunk=4, ingest="image")
+    r_img.process(images)
+    r_host = OdometryRunner(cfg, chunk=4, ingest="host")
+    assert r_host.run_chunk is not r_img.run_chunk
+    r_host.process(images)
+    np.testing.assert_allclose(r_img.trajectory(), r_host.trajectory(),
+                               atol=1e-6)
+
+
 def test_candidates_pipeline_matches_image_pipeline():
     """Host-filter ingest must produce identical odometry to image ingest."""
     from cfear_radarodometry_code_public_tpu.config import preset
