@@ -148,7 +148,7 @@ def main():
                                                f.nms_window)
         return Candidates(bins=b, intensity=i, peak=p)
 
-    if kind == "candidates":
+    if kind != "image":
         t0 = time.time()
         inputs = host_filter(images)
         host_ms = (time.time() - t0) / args.frames * 1e3
@@ -185,7 +185,7 @@ def main():
     def feeder(q):
         for _ in range(args.repeats):
             for i in range(0, n_timed, args.chunk):
-                if kind == "candidates":
+                if kind != "image":
                     dev_in = jax.tree.map(jnp.asarray,
                                           host_filter(images[i:i + args.chunk]))
                 else:
