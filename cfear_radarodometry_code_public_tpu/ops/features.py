@@ -82,6 +82,23 @@ def _eig2x2_min(a, b, c):
     return lmin, lmax, v
 
 
+def budget_points(points: PointCloud, budget: int) -> PointCloud:
+    """Row compaction to a fixed point budget (batched: leaves are (B, N, ...)).
+
+    Overflow policy: drop the WEAKEST-intensity points (their feature weight
+    max(I-60, 0) is smallest), never an azimuth wedge. This is THE device-side
+    budget contract — the native host compaction
+    (`native/cfear_io.cpp` filter_frames_host_compact) must match it
+    bit-for-bit (tested in tests/test_native_io.py)."""
+    key = jnp.where(points.valid, points.intensity, -1.0)
+    order = jnp.argsort(-key, axis=-1)[..., :budget]
+    return PointCloud(
+        xy=jnp.take_along_axis(points.xy, order[..., None], axis=-2),
+        intensity=jnp.take_along_axis(points.intensity, order, axis=-1),
+        valid=jnp.take_along_axis(points.valid, order, axis=-1),
+        peak=jnp.take_along_axis(points.peak, order, axis=-1))
+
+
 def compute_cells(points: PointCloud, cfg: CFEARConfig) -> CellMap:
     """Point cloud -> oriented surface points (sensor-local frame)."""
     batched = compute_cells_batched(
@@ -104,16 +121,8 @@ def compute_cells_batched(points: PointCloud, cfg: CFEARConfig) -> CellMap:
     p = feat.point_budget
     if p and p < points.xy.shape[1]:
         # row compaction: every scatter/gather below is row-bound, and the
-        # (A, k) candidate array carries many invalid slots. Overflow policy:
-        # drop the WEAKEST-intensity points (their feature weight
-        # max(I-60, 0) is smallest), never an azimuth wedge.
-        key = jnp.where(points.valid, points.intensity, -1.0)
-        order = jnp.argsort(-key, axis=-1)[:, :p]
-        points = PointCloud(
-            xy=jnp.take_along_axis(points.xy, order[..., None], axis=1),
-            intensity=jnp.take_along_axis(points.intensity, order, axis=1),
-            valid=jnp.take_along_axis(points.valid, order, axis=1),
-            peak=jnp.take_along_axis(points.peak, order, axis=1))
+        # (A, k) candidate array carries many invalid slots
+        points = budget_points(points, p)
     xy = points.xy                                            # (B, N, 2)
     b, n_pts = xy.shape[0], xy.shape[1]
     valid = points.valid                                      # (B, N)

@@ -157,12 +157,19 @@ def test_compact_pipeline_matches_image_pipeline():
     candidate rows, in the same order, as on-device filtering + on-device
     budget compaction — and produce the same odometry.
 
-    The candidate contract is exact (bit-for-bit set and order equality).
-    The trajectory comparison is loose: the two ingests run through two
+    The candidate contract is exact (bit-for-bit set and order equality),
+    checked against the ACTUAL device compaction (`features.budget_points`)
+    so the host twin cannot silently diverge if the overflow policy changes.
+    The odometry comparison checks PER-FRAME pose deltas (accumulation
+    cannot hide a divergent frame): the two ingests run through two
     separately compiled XLA programs (different input shapes -> different
     fusion/FMA-contraction choices), so identical candidates still yield
-    last-ulp differences that the sequential odometry amplifies over frames
-    (~1e-3 over 10 frames is cross-compilation noise, not a wrong point)."""
+    last-ulp cost differences, and the LM solver's data-dependent stopping
+    (function_tolerance=1e-4 on relative cost decrease) turns those into
+    different iteration counts — measured up to ~2.5e-3 m per-frame pose
+    difference on CPU. The bound is set by that solver tolerance, not by
+    transfer precision; a state-handling bug (wrong keyframe window, stale
+    tmot) shifts deltas by centimeters and fails it."""
     import dataclasses
     import math
 
@@ -172,7 +179,7 @@ def test_compact_pipeline_matches_image_pipeline():
     from cfear_radarodometry_code_public_tpu.datasets import synthetic
     from cfear_radarodometry_code_public_tpu.models.odometry import (
         OdometryRunner)
-    from cfear_radarodometry_code_public_tpu.ops import filtering
+    from cfear_radarodometry_code_public_tpu.ops import features, filtering
 
     cfg = preset("CFEAR-3", dataset="synthetic")
     cfg = cfg.replace(feature=dataclasses.replace(cfg.feature,
@@ -180,6 +187,7 @@ def test_compact_pipeline_matches_image_pipeline():
     images, _ = synthetic.make_sequence(seed=23, n_frames=10, cfg=cfg)
 
     # exact contract: host compaction == device filter + device compaction
+    # (pd_c below IS the production compaction, not a re-implementation)
     f, radar, pb = cfg.filter, cfg.radar, cfg.feature.point_budget
     min_bin = int(math.ceil(radar.min_distance / radar.range_res))
     b, a, i, p = native_io.filter_frames_host_compact(
@@ -189,24 +197,28 @@ def test_compact_pipeline_matches_image_pipeline():
                                          intensity=i[t], peak=p[t])
         ph = filtering.points_from_compact(cc, cfg)
         pd = filtering.filter_polar_image(jnp.asarray(images[t]), cfg)
-        order = jnp.argsort(-jnp.where(pd.valid, pd.intensity, -1.0))[:pb]
+        pd_c = features.budget_points(pd, pb)
         vh = np.asarray(ph.valid)
-        vd = np.asarray(pd.valid[order])
+        vd = np.asarray(pd_c.valid)
         assert vh.sum() == vd.sum()
         np.testing.assert_array_equal(np.asarray(ph.xy)[vh],
-                                      np.asarray(pd.xy[order])[vd])
+                                      np.asarray(pd_c.xy)[vd])
         np.testing.assert_array_equal(np.asarray(ph.intensity)[vh],
-                                      np.asarray(pd.intensity[order])[vd])
+                                      np.asarray(pd_c.intensity)[vd])
         np.testing.assert_array_equal(np.asarray(ph.peak)[vh],
-                                      np.asarray(pd.peak[order])[vd])
+                                      np.asarray(pd_c.peak)[vd])
 
     r_img = OdometryRunner(cfg, chunk=4, ingest="image")
     r_img.process(images)
     r_host = OdometryRunner(cfg, chunk=4, ingest="host")
     assert r_host.run_chunk is not r_img.run_chunk
     r_host.process(images)
-    np.testing.assert_allclose(r_img.trajectory(), r_host.trajectory(),
-                               atol=1e-2)
+    t_img = r_img.trajectory()
+    t_host = r_host.trajectory()
+    # per-frame deltas at solver-tolerance level (see docstring)
+    np.testing.assert_allclose(np.diff(t_img, axis=0),
+                               np.diff(t_host, axis=0), atol=5e-3)
+    np.testing.assert_allclose(t_img, t_host, atol=1e-2)
 
 
 def test_candidates_pipeline_matches_image_pipeline():
