@@ -74,6 +74,11 @@ def main():
                          "2048 measured 744 vs 540 fps/chip batched with "
                          "IDENTICAL drift (mean occupancy ~920 cells; "
                          "overflow keeps the most-supported cells)")
+    ap.add_argument("--max-active-keyframes", type=int, default=0,
+                    help="register against only the K nearest keyframes "
+                         "(0 = all). The s50 lever: association/LM cost is "
+                         "linear in the keyframe axis but distant keyframes "
+                         "contribute no associations")
     ap.add_argument("--point-budget", type=int, default=8192,
                     help="feature.point_budget row compaction (0 = off). "
                          "8192 with weakest-intensity overflow drop "
@@ -117,6 +122,10 @@ def main():
         if args.max_cells:
             cfg = cfg.replace(feature=dataclasses.replace(
                 cfg.feature, max_cells=args.max_cells))
+        if args.max_active_keyframes:
+            cfg = cfg.replace(registration=dataclasses.replace(
+                cfg.registration,
+                max_active_keyframes=args.max_active_keyframes))
 
     dev = jax.devices()[0]
     print(f"device: {dev}, config: {cfg.name} "

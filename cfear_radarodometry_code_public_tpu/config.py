@@ -105,6 +105,14 @@ class RegistrationConfig:
     bucket_capacity: int = 12        # max cells per association bucket
     angle_outlier_deg: float = 30.0  # normal gate cos(pi/6) (`n_scan_normal.cpp:219`)
     max_itr_association: int = 8     # outer loop (`n_scan_normal.h:75`)
+    # keyframe-axis gating for large submaps (CFEAR-3-s50): register against
+    # only the K keyframes NEAREST (by origin distance) to the guess pose.
+    # Association/LM cost is linear in the keyframe axis but only keyframes
+    # whose cells lie within the association radius of source cells can
+    # contribute — beyond ~the scan overlap they produce zero associations
+    # while still paying full (M x M) distance work. 0 = use all keyframes
+    # (the reference enumeration, `n_scan_normal.cpp:359-367`).
+    max_active_keyframes: int = 0
     min_itr: int = 3
     max_itr_solver: int = 20         # inner LM (`n_scan_normal.cpp:9`)
     score_tolerance: float = 1e-5    # (`n_scan_normal.h:74`)
@@ -117,6 +125,19 @@ class RegistrationConfig:
     soft_constraint: bool = False
     covariance_scaler: float = 30.0  # Censi-style scaling (`n_scan_normal.cpp:418`)
     disable_registration: bool = False
+    # --- divergence-as-failure gates -------------------------------------
+    # The reference treats solver failure as a first-class outcome
+    # (`odometrykeyframefuser.cpp:190-199`), but its only failure signal is
+    # Ceres refusing to solve. A solver that silently follows the guess
+    # (e.g. Tukey with a tiny loss limit zeroing every residual) "succeeds"
+    # with near-zero cost while the associations collapse — these gates turn
+    # that divergence into a counted failure (-> guess fallback upstream):
+    # fraction of possible (valid keyframe x valid source cell) pairs that
+    # survived association; healthy CFEAR-3 runs sit at 0.3-0.7, collapsed
+    # solves under 0.01. 0 disables.
+    min_assoc_fraction: float = 0.02
+    # absolute score (final_cost / residual scalars) ceiling; inf disables
+    max_score: float = math.inf
     # Pallas single-kernel inner LM solve (bounded in-kernel fori_loop —
     # the while_loop variant stalled the remote compiler inside lax.scan;
     # the fori variant compiles in ~30 s and runs the full pipeline at

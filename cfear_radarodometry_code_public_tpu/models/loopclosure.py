@@ -48,8 +48,23 @@ class LoopCloserConfig:
     max_ring_distance: float = 0.25     # cosine distance gate on ring keys
     min_keyframe_separation: int = 10
     max_candidates: int = 5             # per keyframe
-    verify_score_max: float = 0.05      # registration score acceptance
+    #: registration-score acceptance ceiling. Genuine synthetic-world loops
+    #: measure 0.045-0.12 (r3 measurement, tests/test_loopclosure.py), so
+    #: 0.1 accepts most true loops; perceptual aliasing is NOT this gate's
+    #: job — an aliased match registers just as well (measured: a
+    #: straight-line world produced a 0.045-score false positive). The
+    #: odometry-consistency gate below is the alias killer.
+    verify_score_max: float = 0.1
     min_assoc: int = 50
+    #: odometry-consistency (anti-aliasing) gate: reject a proposal whose
+    #: implied odometry correction exceeds
+    #: max_drift_fraction * odometric-distance(i, j) + drift_slack_m.
+    #: Radar odometry drifts ~1-2% per meter (reference Tab. III); 15% +
+    #: 5 m slack is an order of magnitude of headroom, while a
+    #: perceptually-aliased match between genuinely different places
+    #: implies a correction comparable to the full separation (~100%).
+    max_drift_fraction: float = 0.15
+    drift_slack_m: float = 5.0
 
 
 def _descriptors(cells: features.CellMap, cfg: CFEARConfig,
@@ -198,22 +213,56 @@ class LoopCloser:
 
         accepted = []
         n_pairs = len(pairs)
+        # odometry-consistency gate inputs: implied correction vs the
+        # odometric chain distance between the nodes (`relative_distance`,
+        # `types.cpp:223-231`) — perceptual aliasing implies a correction
+        # comparable to the whole separation, a genuine loop only the
+        # accumulated drift
+        dist_odo = np.asarray([gb.relative_distance(int(a_), int(b_))
+                               for a_, b_ in pairs])
+        corr = np.linalg.norm(rpose[:, :2] - np.concatenate(
+            [t_odo[:, :2], t_odo[:, :2]]), axis=1)
+        drift_ok = corr <= (lc.max_drift_fraction
+                            * np.concatenate([dist_odo, dist_odo])
+                            + lc.drift_slack_m)
         for i in range(n):
             lo, hi = pair_of[i]
             best, best_score = None, np.inf
+            cand, cand_score = None, np.inf    # best proposal that FAILED
             for p in range(lo, hi):
                 for q in (p, p + n_pairs):     # the two seeds
                     if not success[q]:
                         continue
                     if (score[q] < lc.verify_score_max
                             and num_assoc[q] >= lc.min_assoc
+                            and drift_ok[q]
                             and score[q] < best_score):
                         best, best_score = q, score[q]
+                    elif score[q] < cand_score:
+                        cand, cand_score = q, score[q]
+
+            def _quality(q):
+                p = q % n_pairs
+                return {"score": score[q], "num_assoc": num_assoc[q],
+                        "yaw_seed": -yaw[p],
+                        "ring_distance": d[i, jj[p]],
+                        "drift_fraction": corr[q] / max(dist_odo[p], 1e-9)}
+
             if best is not None:
                 j = int(jj[best % n_pairs])
                 gb.add_loop_edge(j, i, rpose[best], rcov[best],
-                                 kind=posegraph.LOOP_APPEARANCE)
+                                 kind=posegraph.LOOP_APPEARANCE,
+                                 quality=_quality(best))
                 accepted.append((i, j))
+            elif cand is not None:
+                # CANDIDATE constraint (`types.h:150-190`): the proposal is
+                # STORED with its verification quality but never optimized
+                # (`posegraph.edge_residuals` masks CANDIDATE edges) — the
+                # staging role TBV-SLAM gives unverified closures
+                j = int(jj[cand % n_pairs])
+                gb.add_loop_edge(j, i, rpose[cand], rcov[cand],
+                                 kind=posegraph.CANDIDATE,
+                                 quality=_quality(cand))
         return accepted
 
     def add_mini_loops(self, gb: posegraph.GraphBuilder,

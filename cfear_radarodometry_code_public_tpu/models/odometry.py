@@ -117,18 +117,24 @@ def _extract_cells(state: OdometryState, inp, cfg: CFEARConfig,
     `ingest="compact"`: `inp` is a `filtering.CompactCandidates` row set,
     additionally point-budget-compacted on the host — bit-identical
     downstream results, and the device-side budget sort is skipped."""
-    if ingest == "compact":
-        pts = filtering.points_from_compact(inp, cfg)
-    elif ingest == "candidates":
-        pts = filtering.points_from_candidates(inp, cfg)
-    else:
-        pts = filtering.filter_polar_image(inp, cfg)
+    # named scopes carry the reference's stage names ("Filtering"
+    # `radar_driver.cpp:87`, "compensate"/"build_normals"
+    # `odometrykeyframefuser.cpp:253-254`) into jax.profiler device traces
+    with jax.named_scope("Filtering"):
+        if ingest == "compact":
+            pts = filtering.points_from_compact(inp, cfg)
+        elif ingest == "candidates":
+            pts = filtering.points_from_candidates(inp, cfg)
+        else:
+            pts = filtering.filter_polar_image(inp, cfg)
     if cfg.odometry.compensate:
-        xy = se2.compensate_points(pts.xy, state.tmot, cfg.radar.ccw)
-        pts = pts._replace(xy=xy)
-    if cfg.feature.use_raw_pointcloud:
-        return features.compute_raw_cells(pts, cfg)
-    return features.compute_cells(pts, cfg)
+        with jax.named_scope("compensate"):
+            xy = se2.compensate_points(pts.xy, state.tmot, cfg.radar.ccw)
+            pts = pts._replace(xy=xy)
+    with jax.named_scope("build_normals"):
+        if cfg.feature.use_raw_pointcloud:
+            return features.compute_raw_cells(pts, cfg)
+        return features.compute_cells(pts, cfg)
 
 
 def make_bootstrap(cfg: CFEARConfig, ingest: str = "image"):
@@ -165,9 +171,10 @@ def _fuse_frame(state: OdometryState, cells: CellMap, cfg: CFEARConfig
     guess = se2.compose(state.t_prev, state.tmot) if odo.use_guess \
         else state.t_prev
 
-    res = registration.register(
-        state.kf_cells, state.kf_poses, state.kf_valid, cells, guess,
-        cfg=cfg)
+    with jax.named_scope("register"):
+        res = registration.register(
+            state.kf_cells, state.kf_poses, state.kf_valid, cells, guess,
+            cfg=cfg)
     t_cur = jnp.where(res.success, res.pose, guess)
     # velocity / acceleration sanity fallback
     # (`odometrykeyframefuser.cpp:76-94,197-199`)

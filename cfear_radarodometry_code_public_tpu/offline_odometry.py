@@ -56,6 +56,13 @@ def build_config(args):
             loss_limit=args.loss_limit, weight_opt=args.weight_option,
             cov_scale=args.covar_scale,
             regularization=args.regularization,
+            assoc_radius=args.assoc_radius,
+            max_itr_association=args.max_itr_association,
+            max_active_keyframes=args.max_active_keyframes,
+            score_tolerance=args.score_tolerance,
+            min_assoc_fraction=args.min_assoc_fraction,
+            max_score=args.max_score,
+            disable_registration=args.disable_registration or None,
             soft_constraint=args.soft_constraint or None).items()
            if v is not None})
     odo = dataclasses.replace(
@@ -131,42 +138,56 @@ def write_pars(path, cfg, args, timing, extra):
 
 
 def _profile_stages(cfg, images, timing):
-    """Per-stage timings with the reference's stage names
-    ("Filtering" `radar_driver.cpp:87`, "build_normals" / "register"
-    `odometrykeyframefuser.cpp:253-256`). Stages are re-run standalone
-    (jitted separately, host-synced), so numbers are per-stage upper bounds."""
+    """IN-PIPELINE per-stage timings with the reference's stage names
+    ("Filtering" `radar_driver.cpp:87`, "compensate" / "build_normals" /
+    "register" `odometrykeyframefuser.cpp:253-256`).
+
+    Runs the REAL sequential pipeline — bootstrap, then per-frame steps
+    carrying the true scan state — but with the jit boundary split at stage
+    boundaries and a host sync after each stage, so every number is the
+    production stage's device time on the production state (the reference's
+    timing table comes from exactly this instrumentation point,
+    `statistics.cpp:31-51`). The stage-boundary syncs add dispatch overhead
+    the fused production step doesn't pay, which is why this is a flag and
+    not always-on; for fused-step traces use `--trace` (jax.profiler with
+    the same stage names as named scopes)."""
     import jax
     import jax.numpy as jnp
 
+    from cfear_radarodometry_code_public_tpu.models import odometry
     from cfear_radarodometry_code_public_tpu.ops import (features, filtering,
                                                          registration)
+    from cfear_radarodometry_code_public_tpu.utils import se2
 
     f_filter = jax.jit(lambda im: filtering.filter_polar_image(im, cfg))
+    f_comp = jax.jit(lambda xy, tmot: se2.compensate_points(
+        xy, tmot, cfg.radar.ccw))
     f_cells = jax.jit(lambda p: features.compute_cells(p, cfg))
-    f_reg = jax.jit(lambda kf, kfp, kfv, c, g: registration.register(
-        kf, kfp, kfv, c, g, cfg=cfg))
+    f_fuse = jax.jit(lambda st, c: odometry._fuse_frame(st, c, cfg))
+    bootstrap = jax.jit(odometry.make_bootstrap(cfg))
 
-    pts0 = f_filter(jnp.asarray(images[0]))
-    cells0 = f_cells(pts0)
-    s = cfg.odometry.submap_scan_size
-    kf = jax.tree.map(lambda a: jnp.stack([a] * s), cells0)
-    kfp = jnp.zeros((s, 3), jnp.float32)
-    kfv = jnp.ones((s,), bool)
-    guess = jnp.asarray([1.5, 0.0, 0.0], jnp.float32)
-    np.asarray(f_reg(kf, kfp, kfv, cells0, guess).pose)  # warm
+    state, _ = bootstrap(odometry.init_state(cfg), jnp.asarray(images[0]))
+    # warm every stage so compile time stays out of the table
+    pts_w = f_filter(jnp.asarray(images[0]))
+    pts_w = pts_w._replace(xy=f_comp(pts_w.xy, state.tmot))
+    np.asarray(f_fuse(state, f_cells(pts_w))[1].pose)
 
-    for img in images:
+    for img in images[1:]:
         with timing.timer("Filtering"):
             pts = f_filter(jnp.asarray(img))
             np.asarray(pts.xy)
+        if cfg.odometry.compensate:
+            with timing.timer("compensate"):
+                pts = pts._replace(xy=f_comp(pts.xy, state.tmot))
+                np.asarray(pts.xy)
         with timing.timer("build_normals"):
             cells = f_cells(pts)
             np.asarray(cells.mean)
         with timing.timer("register"):
-            res = f_reg(kf, kfp, kfv, cells, guess)
-            np.asarray(res.pose)
+            state, out = f_fuse(state, cells)
+            np.asarray(out.pose)
         timing.document("Surface points", float(np.asarray(cells.n)))
-        timing.document("itrs", float(np.asarray(res.iterations)))
+        timing.document("itrs", float(np.asarray(out.reg_iterations)))
 
 
 def main(argv=None):
@@ -229,14 +250,50 @@ def main(argv=None):
     ap.add_argument("--covar_scale", type=float, default=None)
     ap.add_argument("--regularization", type=float, default=None)
     ap.add_argument("--soft_constraint", action="store_true", default=False)
+    ap.add_argument("--disable_registration", action="store_true",
+                    default=False,
+                    help="pass the motion guess through unrefined "
+                         "(`offline_odometry.cpp:214` disable_registration)")
+    ap.add_argument("--assoc_radius", type=float, default=None,
+                    help="1-NN association gate in meters; doubled on the "
+                         "first outer iteration (`registration.h:122`)")
+    ap.add_argument("--max_itr_association", type=int, default=None,
+                    help="outer association-iteration cap "
+                         "(`n_scan_normal.h:75`)")
+    ap.add_argument("--max_active_keyframes", type=int, default=None,
+                    help="register against only the K keyframes nearest "
+                         "the guess pose (0 = all; the s50 speed lever)")
+    ap.add_argument("--score_tolerance", type=float, default=None,
+                    help="relative score-improvement convergence threshold "
+                         "(`n_scan_normal.h:74`)")
+    ap.add_argument("--min_assoc_fraction", type=float, default=None,
+                    help="divergence gate: fail registration when fewer "
+                         "than this fraction of possible associations "
+                         "survive (0 disables)")
+    ap.add_argument("--max_score", type=float, default=None,
+                    help="divergence gate: fail registration when the "
+                         "per-residual score exceeds this ceiling")
     ap.add_argument("--estimate_cov_by_sampling", action="store_true",
                     default=False)
     ap.add_argument("--use_raw_pointcloud", action="store_true", default=False)
     ap.add_argument("--max_cells", type=int, default=None)
     ap.add_argument("--profile-stages", action="store_true", default=False,
-                    help="additionally time Filtering/build_normals/register "
-                         "per stage (reference stage names) into pars.txt")
+                    help="additionally run an in-pipeline per-stage timing "
+                         "pass (reference stage names; real sequential "
+                         "state) into pars.txt")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace of the "
+                         "production (fused) run into DIR; stage names "
+                         "appear as named scopes (TensorBoard-compatible)")
+    ap.add_argument("--save_radar_img", action="store_true", default=False,
+                    help="dump each polar sweep as PNG under "
+                         "<output-dir>/radar/ (`offline_odometry.cpp:109-112`)")
+    ap.add_argument("--job_nr", type=int, default=None,
+                    help="sweep job number: outputs go to "
+                         "<output-dir>/job_<n> (`utils/worker` semantics)")
     args = ap.parse_args(argv)
+    if args.job_nr is not None:
+        args.output_dir = os.path.join(args.output_dir, f"job_{args.job_nr}")
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -263,9 +320,18 @@ def main(argv=None):
     runner = odometry.OdometryRunner(cfg, chunk=args.chunk,
                                      ingest=args.ingest)
     t0 = time.perf_counter()
-    with timing.timer("odometry-total"):
-        runner.process(images)
-        traj = runner.trajectory()
+    if args.trace:
+        # device trace of the production loop: per-stage device events are
+        # grouped under the reference stage names (named scopes in
+        # models/odometry.py) — the in-pipeline view SURVEY §5 asked for
+        with jax.profiler.trace(args.trace):
+            with timing.timer("odometry-total"):
+                runner.process(images)
+                traj = runner.trajectory()
+    else:
+        with timing.timer("odometry-total"):
+            runner.process(images)
+            traj = runner.trajectory()
     wall = time.perf_counter() - t0
     fps = len(images) / wall
     timing.document("Registration-full", wall * 1e3 / len(images))
@@ -274,6 +340,17 @@ def main(argv=None):
 
     out = runner.frame_outputs()
     os.makedirs(args.output_dir, exist_ok=True)
+    if args.save_radar_img:
+        # per-frame polar-sweep PNG dump (`offline_odometry.cpp:109-112`
+        # writes <nr>.png of the raw radar image)
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.image as mpimg
+        rdir = os.path.join(args.output_dir, "radar")
+        os.makedirs(rdir, exist_ok=True)
+        for nr, img in enumerate(images):
+            mpimg.imsave(os.path.join(rdir, f"{nr:06d}.png"), img,
+                         cmap="gray", vmin=0, vmax=255)
     covs = np.asarray(out.cov)
     save_trajectories(args.output_dir, args.sequence_name, stamps, traj,
                       covs=covs, gt_xyt=gt)

@@ -541,6 +541,21 @@ def register(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, guess,
     dtype = guess.dtype
     res_dim = 1 if reg.cost == "P2L" else 2
 
+    # keyframe-axis distance gate (`max_active_keyframes`): shrink the
+    # (S, M, ...) window to the K keyframes nearest the guess pose ONCE per
+    # call — keyframe origins are fixed during the solve and the pose moves
+    # by less than the association radius, so the nearest set is stable.
+    # Exact when every overlapping keyframe is among the K nearest (distant
+    # keyframes share no cells within the association gate).
+    s_all = kf_cells.valid.shape[0]
+    if reg.max_active_keyframes and reg.max_active_keyframes < s_all:
+        d2_kf = jnp.sum((kf_poses[:, :2] - guess[:2]) ** 2, -1)
+        d2_kf = jnp.where(kf_valid, d2_kf, jnp.inf)
+        _, sel = jax.lax.top_k(-d2_kf, reg.max_active_keyframes)
+        kf_cells = jax.tree.map(lambda a: jnp.take(a, sel, axis=0), kf_cells)
+        kf_poses = jnp.take(kf_poses, sel, axis=0)
+        kf_valid = jnp.take(kf_valid, sel, axis=0)
+
     if reg.soft_constraint:
         if reg_cov_guess is None:
             reg_cov_guess = jnp.eye(3, dtype=dtype)
@@ -673,9 +688,20 @@ def register(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, guess,
     cov = reg.covariance_scaler * (cost_f / dof) * Hinv
     score = final.final_cost / jnp.maximum(
         final.num_res_scalars.astype(dtype), 1.0)
+    # divergence-as-failure (`min_assoc_fraction` / `max_score` in config):
+    # a solve whose associations collapsed, or whose per-residual score
+    # blew past the ceiling, is reported as FAILED even though the LM loop
+    # "converged" — the caller falls back to the motion guess and counts it
+    # (matching `odometrykeyframefuser.cpp:190-199` failure semantics)
+    possible = jnp.maximum(
+        jnp.sum(src.valid) * jnp.sum(kf_valid), 1).astype(dtype)
+    frac = final.num_assoc.astype(dtype) / possible
+    collapsed = frac < reg.min_assoc_fraction
+    if math.isfinite(reg.max_score):
+        collapsed = collapsed | (score > reg.max_score)
     return RegistrationResult(
-        pose=final.pose, cov=cov, success=~final.failed, score=score,
-        final_cost=final.final_cost, num_assoc=final.num_assoc,
+        pose=final.pose, cov=cov, success=~final.failed & ~collapsed,
+        score=score, final_cost=final.final_cost, num_assoc=final.num_assoc,
         iterations=final.itr)
 
 
@@ -713,90 +739,129 @@ def register_scans_service(scans: CellMap, poses, cfg: CFEARConfig,
 
 def refine_many_to_many(cells: CellMap, poses, valid, cfg: CFEARConfig,
                         fixed_mask=None, outer_iters: int = 4,
-                        gn_iters: int = 8, cg_iters: int = 24):
+                        gn_iters: int = 8, cg_iters: int = 24,
+                        pairs_per_scan: int | None = None):
     """Joint refinement of ALL scan poses ("many_to_many_refinement",
     `registration.h:48`, pair enumeration `n_scan_normal.cpp:359-367`).
 
-    Every ordered scan pair (target i, source j) contributes associations;
-    residuals depend on BOTH poses (the non-"efficient" cost functors,
+    Scan pairs (target i, source j) contribute associations; residuals
+    depend on BOTH poses (the non-"efficient" cost functors,
     `n_scan_normal.h:134-176`). The normal equations over the 3*S pose block
     are solved matrix-free (vjp/jvp + CG) with the first pose gauge-fixed
     (or `fixed_mask`). Returns refined (S, 3) poses.
+
+    Scaling design (s50-capable): instead of the S^2 ordered-pair
+    enumeration, each source scan is paired with its `pairs_per_scan`
+    nearest valid targets by initial pose-origin distance (default
+    min(S-1, 8); scans further apart than the association radius + scan
+    extent share no associations anyway, so for small S with overlapping
+    scans this is exhaustive). All loops (outer re-association, GN, CG) are
+    `lax.fori_loop`s and the pair dimension is vmapped, so the whole
+    refinement is ONE compiled program whose trace size is independent of
+    the iteration counts — S=50 compiles in seconds, not the minutes the
+    Python-unrolled S^2 formulation took at S=3.
     """
     reg = cfg.registration
     s = poses.shape[0]
     if fixed_mask is None:
         fixed_mask = jnp.zeros((s,), bool).at[0].set(True)
     free = ~fixed_mask
+    k = pairs_per_scan if pairs_per_scan else min(s - 1, 8)
+
+    # static pair selection from the INITIAL poses: refinement moves poses
+    # by centimetres while the pairing granularity is whole metres, so the
+    # nearest-target sets never change across outer iterations
+    d0 = jnp.linalg.norm(poses[None, :, :2] - poses[:, None, :2], axis=-1)
+    d0 = jnp.where(valid[:, None] & valid[None, :], d0, jnp.inf)
+    d0 = jnp.where(jnp.eye(s, dtype=bool), jnp.inf, d0)       # i != j
+    order = jnp.argsort(d0, axis=0)                           # per source j
+    ii = order[:k, :].T.reshape(-1)                           # (S*k,) targets
+    jj = jnp.repeat(jnp.arange(s), k)                         # (S*k,) sources
+    pair_ok = jnp.isfinite(
+        d0[ii, jj]) & valid[ii] & valid[jj]                   # (S*k,)
+    cos_gate = math.cos(math.radians(reg.angle_outlier_deg))
+
+    def pair_assoc(cur, i, j, ok_pair):
+        """Exact dense 1-NN of source j's cells into target i's frame."""
+        t_rel = se2.relative(cur[i], cur[j])
+        src_mean_t = se2.transform(t_rel, cells.mean[j])      # (M, 2)
+        src_norm_t = se2.rotate(t_rel, cells.normal[j])
+        tar_mean = cells.mean[i]
+        d2 = (jnp.sum(src_mean_t ** 2, -1)[:, None]
+              + jnp.sum(tar_mean ** 2, -1)[None, :]
+              - 2.0 * src_mean_t @ tar_mean.T)
+        d2 = jnp.where(cells.valid[i][None, :], d2, jnp.inf)
+        nn = jnp.argmin(d2, axis=1)
+        nn_d2 = jnp.min(d2, axis=1)
+        sim_dir = jnp.maximum(
+            jnp.sum(src_norm_t * cells.normal[i][nn], -1), 0.0)
+        ok = (cells.valid[j] & ok_pair
+              & (nn_d2 < reg.assoc_radius ** 2) & (sim_dir > cos_gate))
+        w = losses.association_weight(
+            reg.weight_opt, cells.nsamples[j], cells.nsamples[i][nn],
+            sim_dir, cells.planarity[j], cells.planarity[i][nn])
+        return nn.astype(jnp.int32), jnp.where(ok, w, 0.0)
+
+    def residuals(p, tar_idx, w_a):
+        def one_pair(i, j, tar_i, w_i):
+            src_w = se2.transform(p[j], cells.mean[j])         # (M, 2)
+            tar_w = se2.transform(p[i], cells.mean[i][tar_i])
+            d = src_w - tar_w
+            if reg.cost == "P2L":
+                n_w = se2.rotate(p[i], cells.normal[i][tar_i])
+                e = jnp.sum(d * n_w, -1, keepdims=True)
+            else:
+                e = d
+            ssq = jnp.sum(e * e, -1)
+            _, drho = losses.rho(ssq, reg.loss, reg.loss_limit)
+            # IRLS: the robust weight is constant within a GN step
+            # (sqrt has an infinite derivative at 0 otherwise)
+            wr = jax.lax.stop_gradient(jnp.sqrt(w_i * drho))
+            return e * wr[:, None]
+
+        return jax.vmap(one_pair)(ii, jj, tar_idx, w_a)
 
     def proj(x):
         return jnp.where(free[:, None], x, 0.0)
 
-    cur = poses
+    def outer_body(_, cur):
+        tar_idx, w_a = jax.vmap(
+            lambda i, j, ok: pair_assoc(cur, i, j, ok))(ii, jj, pair_ok)
 
-    for _ in range(outer_iters):
-        # association for every ordered pair (i = target, j = source)
-        def pair_assoc(i, j):
-            kf = jax.tree.map(lambda a: a[i][None], cells)
-            src_j = jax.tree.map(lambda a: a[j], cells)
-            a = associate(kf, cur[i][None], valid[i][None], src_j, cur[j],
-                          reg.assoc_radius, cfg)
-            ok = a.valid[0] & valid[i] & valid[j] & (i != j)
-            return a.tar_idx[0], jnp.where(ok, a.weight[0], 0.0), ok
-
-        ii, jj = jnp.meshgrid(jnp.arange(s), jnp.arange(s), indexing="ij")
-        pairs = jnp.stack([ii.ravel(), jj.ravel()], -1)       # (S*S, 2)
-        tar_idx, w_a, ok_a = jax.vmap(lambda p: pair_assoc(p[0], p[1]))(pairs)
-
-        def residuals(p):
-            def one_pair(pi, tar_i, w_i):
-                i, j = pi[0], pi[1]
-                t_i, t_j = p[i], p[j]
-                src_w = se2.transform(t_j, cells.mean[j])      # (M, 2)
-                tar_w = se2.transform(t_i, cells.mean[i][tar_i])
-                d = src_w - tar_w
-                if reg.cost == "P2L":
-                    n_w = se2.rotate(t_i, cells.normal[i][tar_i])
-                    e = jnp.sum(d * n_w, -1, keepdims=True)
-                else:
-                    e = d
-                ssq = jnp.sum(e * e, -1)
-                _, drho = losses.rho(ssq, reg.loss, reg.loss_limit)
-                # IRLS: the robust weight is constant within a GN step
-                # (sqrt has an infinite derivative at 0 otherwise)
-                wr = jax.lax.stop_gradient(jnp.sqrt(w_i * drho))
-                return e * wr[:, None]
-
-            return jax.vmap(one_pair)(pairs, tar_idx, w_a)
-
-        for _ in range(gn_iters):
-            r, vjp = jax.vjp(residuals, cur)
+        def gn_body(_, p):
+            r, vjp = jax.vjp(lambda q: residuals(q, tar_idx, w_a), p)
             (grad,) = vjp(r)
             grad = proj(grad)
 
             def hvp(x):
                 x = proj(x)
-                _, jv = jax.jvp(residuals, (cur,), (x,))
+                _, jv = jax.jvp(
+                    lambda q: residuals(q, tar_idx, w_a), (p,), (x,))
                 (h,) = vjp(jv)
                 return proj(h) + 1e-6 * x
 
-            # CG on the 3S-dim system
-            b = -grad
-            x = jnp.zeros_like(b)
-            rr = b
-            pp = b
-            rs = jnp.sum(rr * rr)
-            for _ in range(cg_iters):
+            def cg_body(_, st):
+                x, rr, pp, rs = st
                 Ap = hvp(pp)
                 denom = jnp.sum(pp * Ap)
                 alpha = rs / jnp.where(denom > 0, denom, 1.0)
                 x = x + alpha * pp
                 rr = rr - alpha * Ap
                 rs_new = jnp.sum(rr * rr)
-                pp = rr + (rs_new / jnp.where(rs > 0, rs, 1.0)) * pp
-                rs = rs_new
-            cur = cur + proj(x)
-    return cur
+                pp2 = rr + (rs_new / jnp.where(rs > 0, rs, 1.0)) * pp
+                return x, rr, pp2, rs_new
+
+            b = -grad
+            x, *_ = jax.lax.fori_loop(
+                0, cg_iters, cg_body, (jnp.zeros_like(b), b, b,
+                                       jnp.sum(b * b)))
+            return p + proj(x)
+
+        return jax.lax.fori_loop(0, gn_iters, gn_body, cur)
+
+    refine = jax.jit(lambda p0: jax.lax.fori_loop(0, outer_iters,
+                                                  outer_body, p0))
+    return refine(poses)
 
 
 def register_time_continuous(kf_cells: CellMap, kf_poses, kf_valid,

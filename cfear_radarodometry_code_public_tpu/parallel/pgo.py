@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from cfear_radarodometry_code_public_tpu.models.posegraph import (
-    PoseGraph, edge_residuals)
+    DEFAULT_GNC_START, DEFAULT_LOOP_LOSS, DEFAULT_LOOP_LOSS_LIMIT, PoseGraph,
+    edge_residuals, gnc_limit)
 
 
 def _pad_edges(graph: PoseGraph, n_dev: int) -> PoseGraph:
@@ -38,8 +39,16 @@ def _pad_edges(graph: PoseGraph, n_dev: int) -> PoseGraph:
 
 def distributed_optimize(graph: PoseGraph, mesh: Mesh, axis: str = "data",
                          iters: int = 10, cg_iters: int = 50,
-                         damping: float = 1e-6):
-    """Edge-sharded Gauss-Newton: returns (optimized PoseGraph, final cost)."""
+                         damping: float = 1e-6,
+                         loop_loss: str = DEFAULT_LOOP_LOSS,
+                         loop_loss_limit: float = DEFAULT_LOOP_LOSS_LIMIT,
+                         gnc_start: float = DEFAULT_GNC_START):
+    """Edge-sharded Gauss-Newton: returns (optimized PoseGraph, final cost).
+
+    Same robust-loop-edge / CANDIDATE-masking / graduated-non-convexity
+    semantics as the single-device optimizer (`posegraph.edge_residuals`,
+    `posegraph.gnc_limit`); the IRLS weights are edge-local, so
+    robustification adds no extra collectives."""
     n_dev = mesh.shape[axis]
     graph = _pad_edges(graph, n_dev)
 
@@ -54,14 +63,17 @@ def distributed_optimize(graph: PoseGraph, mesh: Mesh, axis: str = "data",
     def run(poses, node_valid, ei, ej, tij, sinfo, etype, evalid):
         local = PoseGraph(poses, node_valid, ei, ej, tij, sinfo, etype, evalid)
 
-        def local_res(p):
-            return edge_residuals(p, local._replace(poses=p))
-
         def gauge(x):
             return x.at[0].set(0.0)
 
-        def gn_body(_, carry):
+        def gn_body(k, carry):
             p, _ = carry
+            limit_k = gnc_limit(k, iters, loop_loss_limit, gnc_start)
+
+            def local_res(q):
+                return edge_residuals(q, local._replace(poses=q),
+                                      loop_loss, limit_k)
+
             r, vjp = jax.vjp(local_res, p)
             (grad,) = vjp(r)
             grad = gauge(jax.lax.psum(grad, axis))

@@ -257,6 +257,79 @@ def test_many_to_many_refinement():
             < np.linalg.norm(noisy[1:, :2] - true_poses[1:, :2], axis=1)).all()
 
 
+def test_max_active_keyframes_equivalence():
+    """`max_active_keyframes` K-nearest gating must be EXACT when every
+    overlapping keyframe is among the K nearest: distant keyframes (here
+    300 m away, observing a different part of the world) contribute zero
+    associations, so dropping them from the (S, M, M) work changes nothing."""
+    rng = np.random.default_rng(14)
+    cfg_all = _cfg("P2P")
+    cfg_gate = cfg_all.replace(registration=dataclasses.replace(
+        cfg_all.registration, max_active_keyframes=4))
+    xy, intens = _world_cloud(rng)
+    far_xy = xy + np.array([300.0, 0.0])      # a different, distant scene
+
+    near_poses = np.array([[0.0, 0.0, 0.0], [2.0, 0.3, 0.02],
+                           [4.0, 0.6, 0.04], [6.0, 0.9, 0.06]])
+    far_poses = np.array([[300.0, 0.0, 0.0], [302.0, 0.3, 0.02],
+                          [304.0, 0.6, 0.04], [306.0, 0.9, 0.06]])
+    kf_list = [_cells_from_world(xy, intens, p, cfg_all) for p in near_poses]
+    kf_list += [_cells_from_world(far_xy, intens, p, cfg_all)
+                for p in far_poses]
+    kf = _stack_keyframes(kf_list)
+    kf_poses = jnp.asarray(np.concatenate([near_poses, far_poses]),
+                           jnp.float32)
+    kf_valid = jnp.ones(8, bool)
+    src = _cells_from_world(xy, intens, np.array([7.0, 1.0, 0.07]), cfg_all)
+    guess = jnp.asarray([7.2, 0.8, 0.06], jnp.float32)
+
+    r_all = registration.register(kf, kf_poses, kf_valid, src, guess,
+                                  cfg=cfg_all)
+    r_gate = registration.register(kf, kf_poses, kf_valid, src, guess,
+                                   cfg=cfg_gate)
+    assert bool(r_all.success) and bool(r_gate.success)
+    assert int(r_all.num_assoc) == int(r_gate.num_assoc)
+    np.testing.assert_allclose(np.asarray(r_gate.pose),
+                               np.asarray(r_all.pose), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r_gate.cov),
+                               np.asarray(r_all.cov), rtol=1e-4, atol=1e-9)
+
+
+def test_many_to_many_refinement_s50_scale():
+    """s50-window joint refinement (`registration.h:48` at the flagship
+    submap size): 50 scans, nearest-8 pairing, fori-loop GN/CG — must
+    compile + run as one program in well under a minute (the Python-unrolled
+    S^2 formulation took 74 s at S=3) and improve every perturbed pose."""
+    import time
+
+    rng = np.random.default_rng(13)
+    cfg = _cfg("P2L")
+    xy, intens = _world_cloud(rng, n=600)
+    s = 50
+    true_poses = np.zeros((s, 3))
+    for i in range(1, s):
+        true_poses[i] = true_poses[i - 1] + [1.5, 0.1 * np.sin(i / 5), 0.01]
+    cells = _stack_keyframes(
+        [_cells_from_world(xy, intens, p, cfg, budget=1024)
+         for p in true_poses])
+    noise = rng.normal(0, 1, (s, 3)) * np.array([0.15, 0.15, 0.015])
+    noise[0] = 0
+    noisy = true_poses + noise
+    t0 = time.time()
+    refined = np.asarray(registration.refine_many_to_many(
+        cells, jnp.asarray(noisy, jnp.float32), jnp.ones(s, bool), cfg,
+        outer_iters=3, gn_iters=6, cg_iters=24))
+    elapsed = time.time() - t0
+    assert elapsed < 120.0, f"s50 refinement took {elapsed:.0f}s"
+    err_in = np.linalg.norm(noisy[1:, :2] - true_poses[1:, :2], axis=1)
+    err_out = np.linalg.norm(refined[1:, :2] - true_poses[1:, :2], axis=1)
+    np.testing.assert_allclose(refined[0], true_poses[0], atol=1e-6)
+    # mean error must drop substantially (only pose 0 is gauge-fixed, so
+    # residual error includes global gauge drift of the whole 75 m chain)
+    assert np.mean(err_out) < 0.5 * np.mean(err_in), (err_out.mean(),
+                                                      err_in.mean())
+
+
 def test_consistency_gate_and_service():
     cfg = _cfg("P2L")
     rng = np.random.default_rng(12)
