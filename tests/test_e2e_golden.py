@@ -39,36 +39,40 @@ def _write_oxford_fixture(root):
     rng = np.random.default_rng(7)
     world = synthetic.make_world(rng)
     dt = cfg.radar.sensor_period
-    gt = synthetic.make_trajectory(np.random.default_rng(8), N_FRAMES,
-                                   dt=dt, speed=8.0)
+    # N_FRAMES + 1 poses: pose 0 is a virtual pre-roll pose so the FIRST
+    # image stamp is interior to the GT bracket (the loader's
+    # `interpolate_gt` — like the reference's One2OneCorrespondance —
+    # drops est stamps at the GT boundary)
+    traj = synthetic.make_trajectory(np.random.default_rng(8), N_FRAMES + 1,
+                                     dt=dt, speed=8.0)
+    gt = traj[1:]                                 # poses of the images
     radar_dir = os.path.join(root, "radar")
     os.makedirs(radar_dir, exist_ok=True)
-    stamps_us = [T0_US + int(i * dt * 1e6) for i in range(N_FRAMES)]
+    stamps_us = [T0_US + int(i * dt * 1e6) for i in range(N_FRAMES + 1)]
     for i in range(N_FRAMES):
-        motion = None
-        if i:
-            prev, cur = gt[i - 1], gt[i]
-            c, s = np.cos(prev[2]), np.sin(prev[2])
-            dx, dy = cur[0] - prev[0], cur[1] - prev[1]
-            motion = np.array([c * dx + s * dy, -s * dx + c * dy,
-                               cur[2] - prev[2]])
-        img = synthetic.render_polar(world, gt[i], cfg,
+        k = i + 1                                 # trajectory index
+        prev, cur = traj[k - 1], traj[k]
+        c, s = np.cos(prev[2]), np.sin(prev[2])
+        dx, dy = cur[0] - prev[0], cur[1] - prev[1]
+        motion = np.array([c * dx + s * dy, -s * dx + c * dy,
+                           cur[2] - prev[2]])
+        img = synthetic.render_polar(world, traj[k], cfg,
                                      np.random.default_rng(1000 + i),
-                                     motion=motion, t=i * dt)
+                                     motion=motion, t=k * dt)
         assert img.shape == (400, 3768)
         meta = np.zeros((400, 11), np.uint8)          # stripped by loader
         full = np.concatenate([meta, img], axis=1)
         Image.fromarray(full).save(
-            os.path.join(radar_dir, f"{stamps_us[i]}.png"))
+            os.path.join(radar_dir, f"{stamps_us[k]}.png"))
 
     # Oxford gt/radar_odometry.csv: relative pose destination->source rows
     csv = os.path.join(root, "radar_odometry.csv")
     with open(csv, "w") as f:
         f.write("source_radar_timestamp,destination_radar_timestamp,"
                 "x,y,z,roll,pitch,yaw\n")
-        for i in range(N_FRAMES - 1):
-            rel = np.asarray(se2.relative(jnp.asarray(gt[i]),
-                                          jnp.asarray(gt[i + 1])))
+        for i in range(N_FRAMES):
+            rel = np.asarray(se2.relative(jnp.asarray(traj[i]),
+                                          jnp.asarray(traj[i + 1])))
             f.write(f"{stamps_us[i]},{stamps_us[i + 1]},"
                     f"{rel[0]:.9f},{rel[1]:.9f},0.0,0.0,0.0,{rel[2]:.9f}\n")
     return radar_dir, csv, gt
@@ -100,8 +104,11 @@ def test_oxford_loader_to_result_txt_golden(tmp_path):
     rows = np.loadtxt(kitti).reshape(-1, 12)
     assert rows.shape[0] == N_FRAMES
 
-    # the estimated end pose must track GT end-to-end (<2% of path length)
+    # the estimated end pose must track GT end-to-end (<2% of path length);
+    # est poses are relative to the first image's frame -> rebase GT there
+    import jax.numpy as jnp
     path_len = np.sum(np.linalg.norm(np.diff(gt[:, :2], axis=0), axis=1))
     est_end = rows[-1, [3, 7]]
-    gt_rel = gt - gt[0]
-    assert np.linalg.norm(est_end - gt_rel[-1, :2]) < 0.02 * path_len
+    end_rel = np.asarray(se2.relative(jnp.asarray(gt[0]),
+                                      jnp.asarray(gt[-1])))
+    assert np.linalg.norm(est_end - end_rel[:2]) < 0.02 * path_len
