@@ -263,18 +263,23 @@ def _associate_world(attrs, src: CellMap, src_pose, kf_valid, radius,
 
         nn_all, d2_all = jax.vmap(nn_kf)(attrs)
 
-    def per_kf(attr_i, kf_ok, nn, nn_d2):
-        g = attr_i[nn]                                        # ONE gather
-        sim_dir = jnp.maximum(jnp.sum(src_norm_w * g[:, 2:4], -1), 0.0)
-        ok = (src.valid & kf_ok & (g[:, 6] > 0.5)
-              & (nn_d2 < radius * radius) & (sim_dir > cos_gate))
-        w = losses.association_weight(
-            reg.weight_opt, src.nsamples, g[:, 4], sim_dir,
-            src.planarity, g[:, 5])
-        return nn.astype(jnp.int32), jnp.where(ok, w, 0.0), ok, g
-
-    nn, w, ok, g = jax.vmap(per_kf)(attrs, kf_valid, nn_all, d2_all)
-    return Associations(nn, w, ok), _tgt_from_attrs(g, cfg)
+    # ONE flat gather for all S keyframes (collapsing the keyframe axis
+    # into the row index lets XLA emit a single gather instead of S per-kf
+    # gathers; measured 0.65 vs 0.88 ms at batch 8, tools/profile_assoc.py)
+    s_kf, m_tar = attrs.shape[0], attrs.shape[1]
+    flat_idx = (nn_all
+                + (jnp.arange(s_kf, dtype=jnp.int32) * m_tar)[:, None])
+    g = attrs.reshape(s_kf * m_tar, attrs.shape[-1])[
+        flat_idx.reshape(-1)].reshape(s_kf, nn_all.shape[1], -1)
+    sim_dir = jnp.maximum(
+        jnp.sum(src_norm_w[None] * g[..., 2:4], -1), 0.0)
+    ok = (src.valid[None] & kf_valid[:, None] & (g[..., 6] > 0.5)
+          & (d2_all < radius * radius) & (sim_dir > cos_gate))
+    w = losses.association_weight(
+        reg.weight_opt, src.nsamples[None], g[..., 4], sim_dir,
+        src.planarity[None], g[..., 5])
+    return (Associations(nn_all.astype(jnp.int32), jnp.where(ok, w, 0.0), ok),
+            _tgt_from_attrs(g, cfg))
 
 
 # ---------------------------------------------------------------------------
