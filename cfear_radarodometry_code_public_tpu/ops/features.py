@@ -92,11 +92,18 @@ def budget_points(points: PointCloud, budget: int) -> PointCloud:
     bit-for-bit (tested in tests/test_native_io.py)."""
     key = jnp.where(points.valid, points.intensity, -1.0)
     order = jnp.argsort(-key, axis=-1)[..., :budget]
+    # one packed (rows, 5) gather instead of four per-array gathers
+    # (gathers are row-rate-bound on this TPU)
+    packed = jnp.concatenate(
+        [points.xy, points.intensity[..., None],
+         points.valid.astype(points.xy.dtype)[..., None],
+         points.peak.astype(points.xy.dtype)[..., None]], axis=-1)
+    kept = jnp.take_along_axis(packed, order[..., None], axis=-2)
     return PointCloud(
-        xy=jnp.take_along_axis(points.xy, order[..., None], axis=-2),
-        intensity=jnp.take_along_axis(points.intensity, order, axis=-1),
-        valid=jnp.take_along_axis(points.valid, order, axis=-1),
-        peak=jnp.take_along_axis(points.peak, order, axis=-1))
+        xy=kept[..., 0:2],
+        intensity=kept[..., 2],
+        valid=kept[..., 3] > 0.5,
+        peak=kept[..., 4] > 0.5)
 
 
 def compute_cells(points: PointCloud, cfg: CFEARConfig) -> CellMap:
@@ -255,24 +262,31 @@ def compute_cells_batched(points: PointCloud, cfg: CFEARConfig) -> CellMap:
 
     # --- compaction to the fixed cell budget ---
     # valid cells first; on overflow keep the MOST-SUPPORTED cells (largest
-    # nsamples) rather than a spatial band of voxel ids
+    # nsamples) rather than a spatial band of voxel ids. All per-cell
+    # outputs are packed into ONE (B, ncells, 10) buffer first so the
+    # compaction pays a single (B*m)-row gather instead of six (gathers
+    # are row-rate-bound on this TPU: ~0.13 ms per 16k rows each).
     m = feat.max_cells
     order = jnp.argsort(
         -jnp.where(cell_ok, nsamp + 1.0, 0.0), axis=-1)
     take = order[..., :m]                                 # (B, m)
 
-    def take1(a):
-        idx = take.reshape(take.shape + (1,) * (a.ndim - 2))
-        return jnp.take_along_axis(a, idx, axis=1)
-
-    kept_valid = take1(cell_ok)
-    cov = jnp.stack([jnp.stack([cxx, cxy], -1), jnp.stack([cxy, cyy], -1)], -2)
+    packed = jnp.stack(
+        [mean[..., 0], mean[..., 1], nvec[..., 0], nvec[..., 1],
+         cxx, cxy, cyy, nsamp, planarity,
+         cell_ok.astype(mean.dtype)], axis=-1)            # (B, ncells, 10)
+    kept = jnp.take_along_axis(packed, take[..., None], axis=1)
+    kept_valid = kept[..., 9] > 0.5
+    vmask = kept_valid[..., None]
+    cov = jnp.stack(
+        [jnp.stack([kept[..., 4], kept[..., 5]], -1),
+         jnp.stack([kept[..., 5], kept[..., 6]], -1)], -2)
     return CellMap(
-        mean=jnp.where(kept_valid[..., None], take1(mean), 0.0),
-        normal=jnp.where(kept_valid[..., None], take1(nvec), 0.0),
-        cov=jnp.where(kept_valid[..., None, None], take1(cov), 0.0),
-        nsamples=jnp.where(kept_valid, take1(nsamp), 0.0),
-        planarity=jnp.where(kept_valid, take1(planarity), 0.0),
+        mean=jnp.where(vmask, kept[..., 0:2], 0.0),
+        normal=jnp.where(vmask, kept[..., 2:4], 0.0),
+        cov=jnp.where(vmask[..., None], cov, 0.0),
+        nsamples=jnp.where(kept_valid, kept[..., 7], 0.0),
+        planarity=jnp.where(kept_valid, kept[..., 8], 0.0),
         valid=kept_valid,
     )
 

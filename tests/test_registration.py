@@ -405,6 +405,42 @@ def test_pallas_assoc_backend_matches_dense():
                                   np.asarray(results["pallas"].num_assoc))
 
 
+def test_nn_kernel_variants_match():
+    """All Pallas 1-NN kernel variants (256-tile, fat 512-tile, in-kernel
+    keyframe loop) return identical (nn, d2) to a numpy argmin reference,
+    including the lowest-index tie-break and all-invalid keyframes."""
+    from cfear_radarodometry_code_public_tpu.ops import pallas_assoc
+
+    rng = np.random.default_rng(3)
+    s, m = 3, 512
+    src = rng.normal(size=(m, 2)).astype(np.float32) * 40
+    tar = rng.normal(size=(s, m, 2)).astype(np.float32) * 40
+    tar[1, 10] = tar[1, 20]                    # exact duplicate -> tie
+    src[5] = tar[1, 10]
+    valid = rng.random((s, m)) < 0.8
+    valid[2] = False                           # keyframe with no targets
+    d2 = np.sum((src[None, :, None, :] - tar[:, None, :, :]) ** 2, -1)
+    d2 = np.where(valid[:, None, :], d2, np.inf)
+    ref_nn = np.argmin(d2, axis=2)
+    ref_d2 = np.min(d2, axis=2)
+    for name, fn in [
+        ("ts256", lambda: pallas_assoc.nn_min(
+            jnp.asarray(src), jnp.asarray(tar), jnp.asarray(valid),
+            interpret=True, ts=256)),
+        ("ts512", lambda: pallas_assoc.nn_min(
+            jnp.asarray(src), jnp.asarray(tar), jnp.asarray(valid),
+            interpret=True, ts=512)),
+        ("multi", lambda: pallas_assoc.nn_min_multi(
+            jnp.asarray(src), jnp.asarray(tar), jnp.asarray(valid),
+            interpret=True)),
+    ]:
+        nn, dd = fn()
+        np.testing.assert_array_equal(np.asarray(nn), ref_nn, err_msg=name)
+        # d2 agrees to f32 ulp (numpy's summation order differs)
+        np.testing.assert_allclose(np.asarray(dd), ref_d2, rtol=1e-5,
+                                   err_msg=name)
+
+
 def test_fused_lm_matches_packed_xla():
     """The fused Pallas LM kernel (bounded fori_loop variant, interpreter
     mode on CPU) returns the same pose as the packed-XLA while-loop path."""
