@@ -41,6 +41,7 @@ def main():
     ap.add_argument("--preset", default="CFEAR-3")
     ap.add_argument("--max-cells", type=int, default=2048)
     ap.add_argument("--point-budget", type=int, default=8192)
+    ap.add_argument("--max-active-keyframes", type=int, default=0)
     args = ap.parse_args()
 
     global jax
@@ -60,6 +61,10 @@ def main():
     cfg = cfg.replace(feature=dataclasses.replace(
         cfg.feature, point_budget=args.point_budget,
         max_cells=args.max_cells))
+    if args.max_active_keyframes:
+        cfg = cfg.replace(registration=dataclasses.replace(
+            cfg.registration,
+            max_active_keyframes=args.max_active_keyframes))
     reg = cfg.registration
     b = args.batch
     print(f"backend={jax.default_backend()} preset={cfg.name} B={b} "
