@@ -85,6 +85,13 @@ class FeatureConfig:
     # 0 = off. Results are IDENTICAL as long as the valid count stays under
     # the budget; on overflow the latest-azimuth points are dropped.
     point_budget: int = 0
+    # order kept cells by Morton code of their voxel index (valid cells
+    # first). The cell map is a SET — ordering changes no semantics (only
+    # exact argmin ties between equidistant targets, measure-zero) — but a
+    # spatially-coherent order makes contiguous cell tiles compact blobs,
+    # which the block-sparse association kernel's bounding-box tile
+    # skipping needs to be effective.
+    spatial_sort: bool = False
 
 
 @dataclass(frozen=True)
@@ -300,7 +307,11 @@ def preset(name: str = "CFEAR-3", dataset: str = "oxford") -> CFEARConfig:
         return CFEARConfig(
             radar=radar,
             filter=FilterConfig(k_strongest=40, z_min=60),
-            feature=FeatureConfig(res=3.0, weight_intensity=True, max_cells=3072),
+            # spatial_sort: Morton-ordered cells so the large-submap
+            # association can run the block-sparse kernel (set semantics
+            # unchanged; see FeatureConfig.spatial_sort)
+            feature=FeatureConfig(res=3.0, weight_intensity=True,
+                                  max_cells=3072, spatial_sort=True),
             registration=RegistrationConfig(cost="P2P", loss="Cauchy", loss_limit=0.1,
                                             weight_opt="Combined"),
             odometry=OdometryConfig(submap_scan_size=50),

@@ -82,6 +82,18 @@ def _eig2x2_min(a, b, c):
     return lmin, lmax, v
 
 
+def _morton2(ix, iy):
+    """Interleave two <=15-bit non-negative int32 coordinates (Morton/Z
+    order): bit k of ix lands at position 2k, iy at 2k+1."""
+    def spread(v):
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+    return spread(ix) | (spread(iy) << 1)
+
+
 def budget_points(points: PointCloud, budget: int) -> PointCloud:
     """Row compaction to a fixed point budget (batched: leaves are (B, N, ...)).
 
@@ -277,6 +289,21 @@ def compute_cells_batched(points: PointCloud, cfg: CFEARConfig) -> CellMap:
          cell_ok.astype(mean.dtype)], axis=-1)            # (B, ncells, 10)
     kept = jnp.take_along_axis(packed, take[..., None], axis=1)
     kept_valid = kept[..., 9] > 0.5
+
+    if feat.spatial_sort:
+        # re-order the KEPT cells by Morton code of their voxel index
+        # (valid first) so contiguous cell tiles are compact spatial blobs
+        # — the block-sparse association kernel skips (src-tile, tar-tile)
+        # pairs by bounding box, which needs this coherence. Set-semantics
+        # preserved: same cells, different order.
+        kept_vid = jnp.take_along_axis(
+            jnp.broadcast_to(jnp.arange(ncells, dtype=jnp.int32),
+                             (b, ncells)), take, axis=1)
+        code = _morton2(kept_vid // dim, kept_vid % dim)
+        skey = jnp.where(kept_valid, code, jnp.int32(2 ** 30))
+        order2 = jnp.argsort(skey, axis=-1, stable=True)
+        kept = jnp.take_along_axis(kept, order2[..., None], axis=1)
+        kept_valid = kept[..., 9] > 0.5
     vmask = kept_valid[..., None]
     cov = jnp.stack(
         [jnp.stack([kept[..., 4], kept[..., 5]], -1),

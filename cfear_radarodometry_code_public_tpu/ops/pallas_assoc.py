@@ -24,6 +24,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _TS = 256            # source rows per grid step (512 measured slower: 479.8 vs 486.6 fps batched)
 _TS_FAT = 512        # fat tile for batched grids (fewer grid steps; the
@@ -174,3 +175,188 @@ def nn_min_multi(src_xy, tar_xy, tar_valid, interpret: bool = False):
 def supported_multi(m_src: int, m_tar: int) -> bool:
     """Tiling constraint for `nn_min_multi`."""
     return m_src % _ts_multi(m_tar) == 0 and m_tar % 128 == 0
+
+
+def _nn_multi_unrolled_kernel(n_kf, sx_ref, sy_ref, tx_ref, ty_ref,
+                              mask_ref, nn_ref, d2_ref):
+    # STATIC python loop over keyframes: every slice index is a
+    # compile-time constant, so Mosaic emits plain vector loads/stores
+    # (the fori_loop variant's dynamic sublane slicing lowers worse)
+    sx = sx_ref[...]                       # (TS, 1)
+    sy = sy_ref[...]
+    for s in range(n_kf):
+        dx = sx - tx_ref[s:s + 1, :]       # (TS, M)
+        dy = sy - ty_ref[s:s + 1, :]
+        d2 = dx * dx + dy * dy + mask_ref[s:s + 1, :]
+        nn_ref[s:s + 1, :] = (
+            jnp.argmin(d2, axis=1).astype(jnp.int32)[None, :])
+        d2_ref[s:s + 1, :] = jnp.min(d2, axis=1)[None, :]
+
+
+# ---------------------------------------------------------------------------
+# block-sparse kernel: bounding-box tile skipping
+# ---------------------------------------------------------------------------
+#
+# At CFEAR-3-s50 scale the dense association is VPU-compute-bound
+# (S * M^2 distances per outer iteration, ~4.3 Gop at batch 8 / 16 active
+# keyframes) although ~85-90% of (source cell, keyframe) pairs end beyond
+# the association radius. When the cell maps are spatially ordered
+# (feature.spatial_sort Morton order), contiguous cell tiles are compact
+# blobs, so a (source tile, target tile) pair whose bounding boxes are
+# farther apart than the association radius can skip its distance tile
+# entirely. The skip test runs on scalars prefetched to SMEM; skipped
+# pairs cost a few scalar ops. EXACT for the downstream gate: a skipped
+# pair can only contain distances > radius, which the `ok` gate rejects
+# anyway — rows whose true 1-NN sits beyond the radius report (+inf, 0)
+# exactly like the dense kernel's masked rows.
+
+_TT_SPARSE = 512     # target columns per skip-test granule
+
+
+def _nn_sparse_kernel(n_tt, tt, sb_ref, tb_ref, r2_ref,
+                      sx_ref, sy_ref, tx_ref, ty_ref, mask_ref,
+                      nn_ref, d2_ref, best_scr, barg_scr):
+    i = pl.program_id(0)                   # keyframe
+    j = pl.program_id(1)                   # source tile
+    sx = sx_ref[...]                       # (TS, 1)
+    sy = sy_ref[...]
+    best_scr[...] = jnp.full(best_scr.shape, jnp.inf, jnp.float32)
+    barg_scr[...] = jnp.zeros(barg_scr.shape, jnp.int32)
+    sxmin = sb_ref[j, 0]
+    sxmax = sb_ref[j, 1]
+    symin = sb_ref[j, 2]
+    symax = sb_ref[j, 3]
+    for jt in range(n_tt):
+        gapx = jnp.maximum(jnp.maximum(tb_ref[i, jt, 0] - sxmax,
+                                       sxmin - tb_ref[i, jt, 1]), 0.0)
+        gapy = jnp.maximum(jnp.maximum(tb_ref[i, jt, 2] - symax,
+                                       symin - tb_ref[i, jt, 3]), 0.0)
+
+        @pl.when(gapx * gapx + gapy * gapy <= r2_ref[0])
+        def _():
+            tx = tx_ref[0, jt * tt:(jt + 1) * tt]      # (1, TT) static
+            ty = ty_ref[0, jt * tt:(jt + 1) * tt]
+            msk = mask_ref[0, jt * tt:(jt + 1) * tt]
+            dx = sx - tx                                # (TS, TT)
+            dy = sy - ty
+            d2 = dx * dx + dy * dy + msk
+            lmin = jnp.min(d2, axis=1, keepdims=True)   # (TS, 1)
+            larg = (jnp.argmin(d2, axis=1, keepdims=True).astype(jnp.int32)
+                    + jt * tt)
+            better = lmin < best_scr[...]   # strict '<': earlier (lower
+            # index) tiles win exact ties, like jnp.argmin
+            barg_scr[...] = jnp.where(better, larg, barg_scr[...])
+            best_scr[...] = jnp.where(better, lmin, best_scr[...])
+
+    nn_ref[...] = barg_scr[...].reshape(nn_ref.shape)
+    d2_ref[...] = best_scr[...].reshape(d2_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "ts"))
+def nn_min_sparse(src_xy, src_bounds, tar_xy, tar_bounds, tar_valid,
+                  radius, interpret: bool = False, ts: int = 256):
+    """Block-sparse exact 1-NN within `radius` per keyframe.
+
+    src_xy (M_src, 2); src_bounds (M_src/ts, 4) [xmin,xmax,ymin,ymax] of
+    each source tile (invalid cells excluded); tar_xy (S, M, 2);
+    tar_bounds (S, M/_TT_SPARSE, 4); tar_valid (S, M); radius scalar (the
+    CURRENT association radius — pairs beyond it may report +inf).
+    Returns (nn (S, M_src) i32, d2 (S, M_src) f32): identical to `nn_min`
+    for every row whose true 1-NN distance is <= radius; rows beyond the
+    radius report d2 >= radius^2 (possibly +inf), which the association
+    gate rejects either way."""
+    s, m = tar_valid.shape
+    m_src = src_xy.shape[0]
+    tt = _TT_SPARSE
+    n_tt = m // tt
+    sx = src_xy[:, 0:1].astype(jnp.float32)
+    sy = src_xy[:, 1:2].astype(jnp.float32)
+    tx = tar_xy[..., 0].astype(jnp.float32)[:, None, :]   # (S, 1, M)
+    ty = tar_xy[..., 1].astype(jnp.float32)[:, None, :]
+    mask = jnp.where(tar_valid, 0.0, jnp.inf)[:, None, :].astype(jnp.float32)
+    radius = jnp.asarray(radius, jnp.float32)
+    r2 = jnp.reshape(radius * radius, (1,))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(s, m_src // ts),
+        in_specs=[
+            pl.BlockSpec((ts, 1), lambda i, j, *_: (j, 0)),
+            pl.BlockSpec((ts, 1), lambda i, j, *_: (j, 0)),
+            pl.BlockSpec((None, 1, m), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((None, 1, m), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((None, 1, m), lambda i, j, *_: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, ts, 1), lambda i, j, *_: (i, j, 0)),
+            pl.BlockSpec((None, ts, 1), lambda i, j, *_: (i, j, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((ts, 1), jnp.float32),
+                        pltpu.VMEM((ts, 1), jnp.int32)],
+    )
+    nn, d2 = pl.pallas_call(
+        functools.partial(_nn_sparse_kernel, n_tt, tt),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((s, m_src, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((s, m_src, 1), jnp.float32)],
+        interpret=interpret,
+    )(src_bounds.astype(jnp.float32), tar_bounds.astype(jnp.float32), r2,
+      sx, sy, tx, ty, mask)
+    return nn[..., 0], d2[..., 0]
+
+
+def tile_bounds(xy, valid, tile: int):
+    """Per-contiguous-tile bounding boxes [xmin,xmax,ymin,ymax].
+
+    xy (..., N, 2), valid (..., N) -> (..., N/tile, 4); empty tiles get
+    (+inf, -inf, +inf, -inf) so every pair test skips them."""
+    shape = xy.shape[:-2] + (xy.shape[-2] // tile, tile)
+    x = jnp.where(valid, xy[..., 0], jnp.inf).reshape(shape)
+    y = jnp.where(valid, xy[..., 1], jnp.inf).reshape(shape)
+    xn = jnp.where(valid, xy[..., 0], -jnp.inf).reshape(shape)
+    yn = jnp.where(valid, xy[..., 1], -jnp.inf).reshape(shape)
+    return jnp.stack([jnp.min(x, -1), jnp.max(xn, -1),
+                      jnp.min(y, -1), jnp.max(yn, -1)], -1)
+
+
+def supported_sparse(m_src: int, m_tar: int, ts: int = 256) -> bool:
+    return m_src % ts == 0 and m_tar % _TT_SPARSE == 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "ts"))
+def nn_min_multi_unrolled(src_xy, tar_xy, tar_valid,
+                          interpret: bool = False, ts: int | None = None):
+    """`nn_min_multi` with a statically-unrolled keyframe loop.
+
+    Grid = source tiles only (batch vmap prepends its own grid dim), so a
+    batch-8 x 16-keyframe association runs 8 * (M_src/ts) fat steps doing
+    S tile reductions each, instead of 8*16*(M_src/ts) thin ones."""
+    s, m = tar_valid.shape
+    m_src = src_xy.shape[0]
+    if ts is None:
+        ts = _ts_multi(m)
+    sx = src_xy[:, 0:1].astype(jnp.float32)              # (M_src, 1)
+    sy = src_xy[:, 1:2].astype(jnp.float32)
+    tx = tar_xy[..., 0].astype(jnp.float32)              # (S, M)
+    ty = tar_xy[..., 1].astype(jnp.float32)
+    mask = jnp.where(tar_valid, 0.0, jnp.inf).astype(jnp.float32)
+
+    nn, d2 = pl.pallas_call(
+        functools.partial(_nn_multi_unrolled_kernel, s),
+        grid=(m_src // ts,),
+        in_specs=[
+            pl.BlockSpec((ts, 1), lambda i: (i, 0)),
+            pl.BlockSpec((ts, 1), lambda i: (i, 0)),
+            pl.BlockSpec((s, m), lambda i: (0, 0)),
+            pl.BlockSpec((s, m), lambda i: (0, 0)),
+            pl.BlockSpec((s, m), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((s, ts), lambda i: (0, i)),
+            pl.BlockSpec((s, ts), lambda i: (0, i)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((s, m_src), jnp.int32),
+                   jax.ShapeDtypeStruct((s, m_src), jnp.float32)],
+        interpret=interpret,
+    )(sx, sy, tx, ty, mask)
+    return nn, d2

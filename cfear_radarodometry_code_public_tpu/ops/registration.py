@@ -250,6 +250,20 @@ def _associate_world(attrs, src: CellMap, src_pose, kf_valid, radius,
         nn_all, d2_all = pallas_assoc.nn_min(
             src_mean_w, attrs[..., 0:2], tar_valid,
             interpret=jax.default_backend() == "cpu")
+    elif method == "pallas_sparse":
+        # block-sparse kernel: skips (src tile, tar tile) pairs whose
+        # bounding boxes are farther apart than the CURRENT association
+        # radius — exact for the downstream `ok` gate (see
+        # pallas_assoc.nn_min_sparse). Effective when cells are Morton-
+        # ordered (feature.spatial_sort).
+        from cfear_radarodometry_code_public_tpu.ops import pallas_assoc
+        tar_valid = (attrs[..., 6] > 0.5) & kf_valid[:, None]
+        sb = pallas_assoc.tile_bounds(src_mean_w, src.valid, 256)
+        tb = pallas_assoc.tile_bounds(attrs[..., 0:2], tar_valid,
+                                      pallas_assoc._TT_SPARSE)
+        nn_all, d2_all = pallas_assoc.nn_min_sparse(
+            src_mean_w, sb, attrs[..., 0:2], tb, tar_valid, radius,
+            interpret=jax.default_backend() == "cpu", ts=256)
     else:
         src_n2 = jnp.sum(src_mean_w ** 2, -1)
 
@@ -263,14 +277,27 @@ def _associate_world(attrs, src: CellMap, src_pose, kf_valid, radius,
 
         nn_all, d2_all = jax.vmap(nn_kf)(attrs)
 
-    # ONE flat gather for all S keyframes (collapsing the keyframe axis
-    # into the row index lets XLA emit a single gather instead of S per-kf
-    # gathers; measured 0.65 vs 0.88 ms at batch 8, tools/profile_assoc.py)
+    # Attribute lookup at the nearest neighbors. Two formulations, both
+    # exact (measured at batch 8, tools/profile_assoc.py):
+    #  - small S: ONE flat gather with the keyframe axis collapsed into the
+    #    row index (0.65 vs 0.88 ms for per-kf gathers at S=4)
+    #  - large S: one-hot(nn) @ attrs on the MXU — gathers are row-rate
+    #    bound and the row count grows with B*S*M (3.9 ms at S=16), while
+    #    XLA fuses the iota-compare into the matmul operand and the MXU
+    #    does the selection at 2.08 ms. Exact: each one-hot row selects
+    #    exactly one attrs row, so the f32 dot reproduces the values
+    #    bit-for-bit (matmul precision is 'highest' package-wide).
     s_kf, m_tar = attrs.shape[0], attrs.shape[1]
-    flat_idx = (nn_all
-                + (jnp.arange(s_kf, dtype=jnp.int32) * m_tar)[:, None])
-    g = attrs.reshape(s_kf * m_tar, attrs.shape[-1])[
-        flat_idx.reshape(-1)].reshape(s_kf, nn_all.shape[1], -1)
+    if s_kf >= 8:
+        oh = (nn_all[..., None]
+              == jnp.arange(m_tar, dtype=jnp.int32)).astype(attrs.dtype)
+        g = jnp.einsum("snm,smd->snd", oh, attrs,
+                       preferred_element_type=attrs.dtype)
+    else:
+        flat_idx = (nn_all
+                    + (jnp.arange(s_kf, dtype=jnp.int32) * m_tar)[:, None])
+        g = attrs.reshape(s_kf * m_tar, attrs.shape[-1])[
+            flat_idx.reshape(-1)].reshape(s_kf, nn_all.shape[1], -1)
     sim_dir = jnp.maximum(
         jnp.sum(src_norm_w[None] * g[..., 2:4], -1), 0.0)
     ok = (src.valid[None] & kf_valid[:, None] & (g[..., 6] > 0.5)
@@ -572,16 +599,27 @@ def register(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, guess,
         soft_scale = jnp.asarray(0.0, dtype)
         soft_sqrt_info = None
 
-    # association backend resolution: "auto" = the fused Pallas kernel on
-    # TPU, the dense XLA matmul+argmin on CPU (interpreter mode is only for
-    # equivalence tests); both produce identical nearest neighbors
+    # association backend resolution: "auto" = on TPU, the block-sparse
+    # kernel when the window is large and cells are Morton-ordered, else
+    # the fused dense Pallas kernel; dense XLA matmul+argmin on CPU
+    # (interpreter mode is only for equivalence tests). All backends
+    # produce identical accepted associations.
     method = reg.assoc_method
     if method == "auto":
         from cfear_radarodometry_code_public_tpu.ops import pallas_assoc
         m_cells = src.valid.shape[0]
-        method = ("pallas" if jax.default_backend() != "cpu"
-                  and pallas_assoc.supported(m_cells) else "dense")
-    fast_dense = method in ("dense", "pallas")
+        m_tar = kf_cells.valid.shape[1]
+        s_act = kf_cells.valid.shape[0]
+        if (jax.default_backend() != "cpu"
+                and cfg.feature.spatial_sort and s_act >= 8
+                and pallas_assoc.supported_sparse(m_cells, m_tar)):
+            method = "pallas_sparse"
+        elif (jax.default_backend() != "cpu"
+                and pallas_assoc.supported(m_cells)):
+            method = "pallas"
+        else:
+            method = "dense"
+    fast_dense = method in ("dense", "pallas", "pallas_sparse")
     if method == "grid":
         buckets = jax.vmap(lambda c: build_buckets(c, cfg))(kf_cells)
     else:

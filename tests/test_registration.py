@@ -433,12 +433,94 @@ def test_nn_kernel_variants_match():
         ("multi", lambda: pallas_assoc.nn_min_multi(
             jnp.asarray(src), jnp.asarray(tar), jnp.asarray(valid),
             interpret=True)),
+        ("unrolled", lambda: pallas_assoc.nn_min_multi_unrolled(
+            jnp.asarray(src), jnp.asarray(tar), jnp.asarray(valid),
+            interpret=True)),
     ]:
         nn, dd = fn()
         np.testing.assert_array_equal(np.asarray(nn), ref_nn, err_msg=name)
         # d2 agrees to f32 ulp (numpy's summation order differs)
         np.testing.assert_allclose(np.asarray(dd), ref_d2, rtol=1e-5,
                                    err_msg=name)
+
+
+def test_sparse_assoc_kernel_matches_dense():
+    """The block-sparse 1-NN kernel (bounding-box tile skipping) must agree
+    with the dense kernel on every row whose true 1-NN lies within the
+    association radius, and report d2 >= radius^2 elsewhere."""
+    from cfear_radarodometry_code_public_tpu.ops import pallas_assoc as pa
+
+    rng = np.random.default_rng(1)
+    s, m, msrc, ts, radius = 4, 1024, 512, 256, 5.0
+    src = rng.normal(size=(msrc, 2)).astype(np.float32) * 60
+    src = src[np.argsort(src[:, 0], kind="stable")]      # spatially ordered
+    tar = rng.normal(size=(s, m, 2)).astype(np.float32) * 60
+    for k in range(s):
+        tar[k] = tar[k][np.argsort(tar[k][:, 0], kind="stable")]
+    tv = rng.random((s, m)) < 0.8
+    tv[2] = False                                        # empty keyframe
+    sb = pa.tile_bounds(jnp.asarray(src), jnp.ones((msrc,), bool), ts)
+    tb = pa.tile_bounds(jnp.asarray(tar), jnp.asarray(tv), pa._TT_SPARSE)
+    nn, d2 = pa.nn_min_sparse(jnp.asarray(src), sb, jnp.asarray(tar), tb,
+                              jnp.asarray(tv), radius, interpret=True, ts=ts)
+    dn, dd = pa.nn_min(jnp.asarray(src), jnp.asarray(tar), jnp.asarray(tv),
+                       interpret=True)
+    nn, d2, dn, dd = map(np.asarray, (nn, d2, dn, dd))
+    within = dd <= radius * radius
+    assert within.any() and not within.all()
+    np.testing.assert_array_equal(nn[within], dn[within])
+    np.testing.assert_array_equal(d2[within], dd[within])
+    assert (d2[~within] >= radius * radius).all()
+    assert np.isinf(d2[2]).all()
+
+
+def test_register_sparse_backend_matches_dense():
+    """Full register() through assoc_method='pallas_sparse' (Morton-sorted
+    cells, interpreter mode) must reproduce the dense backend's pose and
+    association count."""
+    rng = np.random.default_rng(7)
+    true = np.array([2.5, 0.8, 0.06])
+    xy, intens = _world_cloud(rng)
+    results = {}
+    for method in ("dense", "pallas_sparse"):
+        cfg = _cfg("P2L", "Huber", "Combined")
+        cfg = cfg.replace(
+            feature=dataclasses.replace(cfg.feature, max_cells=512,
+                                        spatial_sort=True),
+            registration=dataclasses.replace(
+                cfg.registration, assoc_method=method))
+        kf_poses_np = [np.zeros(3) + [0.4 * i, 0.1 * i, 0.01 * i]
+                       for i in range(8)]
+        kf_cells = _stack_keyframes(
+            [_cells_from_world(xy, intens, p, cfg) for p in kf_poses_np])
+        kf_poses = jnp.asarray(np.stack(kf_poses_np), jnp.float32)
+        kf_valid = jnp.ones(8, bool)
+        src = _cells_from_world(xy, intens, true, cfg)
+        guess = jnp.asarray(true + np.array([0.3, -0.2, 0.02]), jnp.float32)
+        results[method] = registration.register(
+            kf_cells, kf_poses, kf_valid, src, guess, cfg=cfg)
+    assert bool(results["pallas_sparse"].success)
+    np.testing.assert_allclose(
+        np.asarray(results["dense"].pose),
+        np.asarray(results["pallas_sparse"].pose), atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(results["dense"].num_assoc),
+        np.asarray(results["pallas_sparse"].num_assoc))
+
+
+def test_onehot_attr_lookup_exact():
+    """The MXU one-hot attribute lookup used for large keyframe windows
+    must reproduce the gathered rows bit-for-bit (each one-hot row selects
+    exactly one attrs row; f32 matmul at 'highest' precision)."""
+    rng = np.random.default_rng(5)
+    s, m, d = 9, 256, 7
+    attrs = jnp.asarray(rng.normal(size=(s, m, d)).astype(np.float32) * 100)
+    nn = jnp.asarray(rng.integers(0, m, size=(s, m)).astype(np.int32))
+    oh = (nn[..., None] == jnp.arange(m, dtype=jnp.int32)).astype(jnp.float32)
+    g_mxu = jnp.einsum("snm,smd->snd", oh, attrs,
+                       preferred_element_type=jnp.float32)
+    g_ref = jax.vmap(lambda a, i: a[i])(attrs, nn)
+    np.testing.assert_array_equal(np.asarray(g_mxu), np.asarray(g_ref))
 
 
 def test_fused_lm_matches_packed_xla():

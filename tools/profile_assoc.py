@@ -83,6 +83,20 @@ def main():
         print(f"  match: nn={np.array_equal(o1[0], o2[0])} "
               f"d2={np.allclose(o1[1], o2[1], rtol=0, atol=0)}")
 
+    if hasattr(pallas_assoc, "nn_min_multi_unrolled"):
+        @jax.jit
+        def nn_unr(src, tar, tvalid):
+            return jax.vmap(
+                lambda a, b_, c: pallas_assoc.nn_min_multi_unrolled(
+                    a, b_, c, interpret=interp, ts=256))(src, tar, tvalid)
+
+        t = timeit(nn_unr, (src, tar, tvalid), args.iters)
+        print(f"nn_unrolled(static S)   {t:8.3f} ms")
+        o1 = jax.tree.map(np.asarray, nn_cur(src, tar, tvalid))
+        o3 = jax.tree.map(np.asarray, nn_unr(src, tar, tvalid))
+        print(f"  match: nn={np.array_equal(o1[0], o3[0])} "
+              f"d2={np.allclose(o1[1], o3[1], rtol=0, atol=0)}")
+
     @jax.jit
     def gather_vmap(attrs, nn):
         return jax.vmap(jax.vmap(lambda a, i: a[i]))(attrs, nn)
