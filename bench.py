@@ -79,6 +79,13 @@ def main():
                          "(0 = all). The s50 lever: association/LM cost is "
                          "linear in the keyframe axis but distant keyframes "
                          "contribute no associations")
+    ap.add_argument("--spatial-sort", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="Morton-order cells and force the block-sparse "
+                         "association kernel (assoc_method=pallas_sparse). "
+                         "Default on: 1006.6 vs 976.1 fps/chip batched x8 "
+                         "at CFEAR-3 scale, drift 0.139%% vs 0.142%% "
+                         "(argmin tie flips only)")
     ap.add_argument("--point-budget", type=int, default=8192,
                     help="feature.point_budget row compaction (0 = off). "
                          "8192 with weakest-intensity overflow drop "
@@ -126,6 +133,15 @@ def main():
             cfg = cfg.replace(registration=dataclasses.replace(
                 cfg.registration,
                 max_active_keyframes=args.max_active_keyframes))
+        if args.spatial_sort:
+            from cfear_radarodometry_code_public_tpu.ops import pallas_assoc
+            if pallas_assoc.supported_sparse(cfg.feature.max_cells,
+                                             cfg.feature.max_cells):
+                cfg = cfg.replace(
+                    feature=dataclasses.replace(cfg.feature,
+                                                spatial_sort=True),
+                    registration=dataclasses.replace(
+                        cfg.registration, assoc_method="pallas_sparse"))
 
     dev = jax.devices()[0]
     print(f"device: {dev}, config: {cfg.name} "
