@@ -47,6 +47,8 @@ def build_config(args):
         **{k: v for k, v in dict(
             res=args.res, weight_intensity=args.weight_intensity,
             max_cells=args.max_cells,
+            point_budget=args.point_budget,
+            spatial_sort=args.spatial_sort or None,
             use_raw_pointcloud=args.use_raw_pointcloud or None).items()
            if v is not None})
     reg = dataclasses.replace(
@@ -277,6 +279,12 @@ def main(argv=None):
                     default=False)
     ap.add_argument("--use_raw_pointcloud", action="store_true", default=False)
     ap.add_argument("--max_cells", type=int, default=None)
+    ap.add_argument("--point_budget", type=int, default=None,
+                    help="feature-stage row-compaction budget (0=off)")
+    ap.add_argument("--spatial_sort", action="store_true",
+                    help="Morton-order cells (enables the block-sparse "
+                         "association kernel on TPU for windows >= 8 "
+                         "keyframes via assoc_method=auto)")
     ap.add_argument("--profile-stages", action="store_true", default=False,
                     help="additionally run an in-pipeline per-stage timing "
                          "pass (reference stage names; real sequential "
