@@ -1,20 +1,23 @@
 """Micro-profile of batched association strategies.
 
-The fuse-phase profile shows association is the super-linear term in the
-batched step (B1 ~0.1 ms net -> B8 ~1.45 ms net per outer iteration at
-CFEAR-3 scale): the vmapped Pallas 1-NN kernel turns the batch into a
-SEQUENTIAL leading grid dimension of tiny (256, M) steps (grid-step
-overhead bound), and the vmapped per-keyframe attribute gather serializes
-per lane. This tool times the candidate fixes in isolation:
+Measured verdicts (TPU v5e, recorded in CLAUDE.md):
+ - kernel variants tie (grid-step overhead is ~1-2 us, NOT dominant):
+   at B8/S16/M2048 nn_cur 3.37 / nn_fat 3.46 / nn_unrolled 3.22 ms —
+   the dense association is VPU-compute-bound; only WORK REDUCTION
+   (nn_min_sparse bounding-box tile skipping) beats it
+ - gathers: flat (collapsed keyframe axis) beats per-kf vmap at small S
+   (0.65 vs 0.88 ms, B8/S4); the MXU one-hot contraction wins at large S
+   (2.08 vs 3.90 ms, B8/S16) — gathers are row-rate-bound in B*S*M
 
-  nn_cur      : current pallas_assoc.nn_min vmapped over B
-  nn_fat      : multi-keyframe kernel (grid = src tiles; in-kernel fori
-                loop over keyframes; TS rows per step)
-  gather_vmap : current per-(lane, kf) attribute gather (vmap of vmap)
+  nn_cur      : pallas_assoc.nn_min vmapped over B
+  nn_fat      : nn_min_multi (in-kernel fori loop over keyframes)
+  nn_unrolled : nn_min_multi_unrolled (static keyframe loop, ts=256;
+                ts=512 OOMs scoped VMEM at S=16)
+  gather_vmap : per-(lane, kf) attribute gather (vmap of vmap)
   gather_flat : ONE lane-offset flat gather of (B*S*M) rows
-  e2e_cur     : full _associate_world vmapped (the production path)
+  gather_onehot: one-hot(nn) @ attrs on the MXU
 
-Timing via host transfer; ~0.8-1.0 ms dispatch overhead included.
+Timing via host transfer; ~0.6-1.0 ms dispatch overhead included.
 """
 
 import argparse
