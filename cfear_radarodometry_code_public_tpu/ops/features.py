@@ -56,6 +56,14 @@ def _grid_geometry(cfg: CFEARConfig):
     leaf = cfg.feature.res / cfg.feature.downsample_factor
     half = int(math.ceil(cfg.radar.max_usable_range / leaf)) + 2
     dim = 2 * half
+    # the Morton spatial sort (_morton2) interleaves <=15-bit coordinates
+    # and uses 2^30 as its invalid-cell sentinel; fail loudly instead of
+    # silently colliding codes on extreme max_usable_range/leaf configs
+    if dim > (1 << 15):
+        raise ValueError(
+            f"voxel grid dim {dim} exceeds the 15-bit Morton-code limit "
+            f"(max_usable_range={cfg.radar.max_usable_range}, leaf={leaf}); "
+            "increase feature.res or reduce radar.max_usable_range")
     noff = int(math.ceil(cfg.feature.res / leaf))
     return leaf, dim, noff
 
@@ -296,9 +304,9 @@ def compute_cells_batched(points: PointCloud, cfg: CFEARConfig) -> CellMap:
         # — the block-sparse association kernel skips (src-tile, tar-tile)
         # pairs by bounding box, which needs this coherence. Set-semantics
         # preserved: same cells, different order.
-        kept_vid = jnp.take_along_axis(
-            jnp.broadcast_to(jnp.arange(ncells, dtype=jnp.int32),
-                             (b, ncells)), take, axis=1)
+        # the kept cells' voxel ids ARE the take indices (rows are voxel-id
+        # ordered before compaction) — no gather needed
+        kept_vid = take
         code = _morton2(kept_vid // dim, kept_vid % dim)
         skey = jnp.where(kept_valid, code, jnp.int32(2 ** 30))
         order2 = jnp.argsort(skey, axis=-1, stable=True)

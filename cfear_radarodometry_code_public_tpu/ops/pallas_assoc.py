@@ -63,6 +63,10 @@ def nn_min(src_xy, tar_xy, tar_valid, interpret: bool = False,
     m_src = src_xy.shape[0]
     if ts is None:
         ts = _TS_FAT if (m <= 2048 and m_src % _TS_FAT == 0) else _TS
+    if m_src % ts:
+        raise ValueError(
+            f"nn_min: m_src={m_src} not divisible by source tile ts={ts} "
+            "(the grid would silently drop the trailing rows)")
     sx = src_xy[:, 0:1].astype(jnp.float32)              # (M, 1)
     sy = src_xy[:, 1:2].astype(jnp.float32)
     tx = tar_xy[..., 0].astype(jnp.float32)[:, None, :]  # (S, 1, M)
@@ -145,6 +149,9 @@ def nn_min_multi(src_xy, tar_xy, tar_valid, interpret: bool = False):
     s, m = tar_valid.shape
     m_src = src_xy.shape[0]
     ts = _ts_multi(m)
+    if m_src % ts:
+        raise ValueError(
+            f"nn_min_multi: m_src={m_src} not divisible by tile ts={ts}")
     sx = src_xy[:, 0:1].astype(jnp.float32)              # (M_src, 1)
     sy = src_xy[:, 1:2].astype(jnp.float32)
     tx = tar_xy[..., 0].astype(jnp.float32)              # (S, M)
@@ -268,6 +275,10 @@ def nn_min_sparse(src_xy, src_bounds, tar_xy, tar_bounds, tar_valid,
     s, m = tar_valid.shape
     m_src = src_xy.shape[0]
     tt = _TT_SPARSE
+    if m_src % ts or m % tt:
+        raise ValueError(
+            f"nn_min_sparse: m_src={m_src} %% ts={ts} and m_tar={m} %% "
+            f"tt={tt} must both be 0 (grid truncation drops rows otherwise)")
     n_tt = m // tt
     sx = src_xy[:, 0:1].astype(jnp.float32)
     sy = src_xy[:, 1:2].astype(jnp.float32)
@@ -335,6 +346,10 @@ def nn_min_multi_unrolled(src_xy, tar_xy, tar_valid,
     m_src = src_xy.shape[0]
     if ts is None:
         ts = _ts_multi(m)
+    if m_src % ts:
+        raise ValueError(
+            f"nn_min_multi_unrolled: m_src={m_src} not divisible by "
+            f"tile ts={ts}")
     sx = src_xy[:, 0:1].astype(jnp.float32)              # (M_src, 1)
     sy = src_xy[:, 1:2].astype(jnp.float32)
     tx = tar_xy[..., 0].astype(jnp.float32)              # (S, M)

@@ -281,14 +281,16 @@ def _associate_world(attrs, src: CellMap, src_pose, kf_valid, radius,
     # exact (measured at batch 8, tools/profile_assoc.py):
     #  - small S: ONE flat gather with the keyframe axis collapsed into the
     #    row index (0.65 vs 0.88 ms for per-kf gathers at S=4)
-    #  - large S: one-hot(nn) @ attrs on the MXU — gathers are row-rate
-    #    bound and the row count grows with B*S*M (3.9 ms at S=16), while
-    #    XLA fuses the iota-compare into the matmul operand and the MXU
-    #    does the selection at 2.08 ms. Exact: each one-hot row selects
-    #    exactly one attrs row, so the f32 dot reproduces the values
-    #    bit-for-bit (matmul precision is 'highest' package-wide).
+    #  - large S on TPU: one-hot(nn) @ attrs on the MXU — gathers are
+    #    row-rate bound and the row count grows with B*S*M (3.9 ms at
+    #    S=16), while XLA fuses the iota-compare into the matmul operand
+    #    and the MXU does the selection at 2.08 ms. Exact: each one-hot
+    #    row selects exactly one attrs row, so the f32 dot reproduces the
+    #    values bit-for-bit (matmul precision is 'highest' package-wide).
+    #    CPU gets the flat gather for ANY S: XLA CPU materializes the
+    #    (S, M, M) one-hot operand (~1.9 GB f32 at s50 scale).
     s_kf, m_tar = attrs.shape[0], attrs.shape[1]
-    if s_kf >= 8:
+    if s_kf >= 8 and jax.default_backend() != "cpu":
         oh = (nn_all[..., None]
               == jnp.arange(m_tar, dtype=jnp.int32)).astype(attrs.dtype)
         g = jnp.einsum("snm,smd->snd", oh, attrs,
@@ -547,6 +549,55 @@ def _lm_solve(pose0, src, tgt, assoc, cfg: CFEARConfig, guess,
 # full registration (outer association loop)
 # ---------------------------------------------------------------------------
 
+_FAST_DENSE = ("dense", "pallas", "pallas_sparse")
+
+
+def resolve_assoc_method(cfg: CFEARConfig, m_src: int, m_tar: int,
+                         s_act: int) -> str:
+    """Resolve `assoc_method="auto"` to a concrete backend.
+
+    ONE shared policy for `register()`, `get_cost()`, `sample_covariance()`
+    and `cost_surface()` — the reference evaluates GetCost on the same
+    problem structure as Register (`n_scan_normal.cpp:188-213`), so the
+    cost-sampling covariance must ride the same fast backends. On TPU:
+    the block-sparse Pallas kernel when the window is large and cells are
+    Morton-ordered, else the fused dense Pallas kernel; dense XLA
+    matmul+argmin on CPU (Pallas interpreter mode is only for equivalence
+    tests). All backends produce identical accepted associations.
+    """
+    method = cfg.registration.assoc_method
+    if method != "auto":
+        return method
+    from cfear_radarodometry_code_public_tpu.ops import pallas_assoc
+    on_tpu = jax.default_backend() != "cpu"
+    if (on_tpu and cfg.feature.spatial_sort and s_act >= 8
+            and pallas_assoc.supported_sparse(m_src, m_tar)):
+        return "pallas_sparse"
+    if on_tpu and pallas_assoc.supported(m_src):
+        return "pallas"
+    return "dense"
+
+
+def _active_window(kf_cells: CellMap, kf_poses, kf_valid, center, cfg):
+    """Keyframe-axis distance gate (`max_active_keyframes`): shrink the
+    (S, M, ...) window to the K keyframes nearest `center`.
+
+    Exact when every keyframe overlapping the scan is among the K nearest
+    (distant keyframes share no cells within the association gate). Shared
+    by `register()` and the cost-evaluation entry points so covariance
+    sampling sees the same active window the solve used."""
+    reg = cfg.registration
+    s_all = kf_cells.valid.shape[0]
+    if not reg.max_active_keyframes or reg.max_active_keyframes >= s_all:
+        return kf_cells, kf_poses, kf_valid
+    d2_kf = jnp.sum((kf_poses[:, :2] - center[:2]) ** 2, -1)
+    d2_kf = jnp.where(kf_valid, d2_kf, jnp.inf)
+    _, sel = jax.lax.top_k(-d2_kf, reg.max_active_keyframes)
+    kf_cells = jax.tree.map(lambda a: jnp.take(a, sel, axis=0), kf_cells)
+    return (kf_cells, jnp.take(kf_poses, sel, axis=0),
+            jnp.take(kf_valid, sel, axis=0))
+
+
 class _OuterState(NamedTuple):
     pose: jax.Array
     prev_pose: jax.Array
@@ -573,20 +624,12 @@ def register(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, guess,
     dtype = guess.dtype
     res_dim = 1 if reg.cost == "P2L" else 2
 
-    # keyframe-axis distance gate (`max_active_keyframes`): shrink the
-    # (S, M, ...) window to the K keyframes nearest the guess pose ONCE per
-    # call — keyframe origins are fixed during the solve and the pose moves
-    # by less than the association radius, so the nearest set is stable.
-    # Exact when every overlapping keyframe is among the K nearest (distant
-    # keyframes share no cells within the association gate).
-    s_all = kf_cells.valid.shape[0]
-    if reg.max_active_keyframes and reg.max_active_keyframes < s_all:
-        d2_kf = jnp.sum((kf_poses[:, :2] - guess[:2]) ** 2, -1)
-        d2_kf = jnp.where(kf_valid, d2_kf, jnp.inf)
-        _, sel = jax.lax.top_k(-d2_kf, reg.max_active_keyframes)
-        kf_cells = jax.tree.map(lambda a: jnp.take(a, sel, axis=0), kf_cells)
-        kf_poses = jnp.take(kf_poses, sel, axis=0)
-        kf_valid = jnp.take(kf_valid, sel, axis=0)
+    # keyframe-axis distance gate (`max_active_keyframes`) at the guess
+    # pose, ONCE per call — keyframe origins are fixed during the solve and
+    # the pose moves by less than the association radius, so the nearest
+    # set is stable.
+    kf_cells, kf_poses, kf_valid = _active_window(
+        kf_cells, kf_poses, kf_valid, guess, cfg)
 
     if reg.soft_constraint:
         if reg_cov_guess is None:
@@ -599,27 +642,10 @@ def register(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, guess,
         soft_scale = jnp.asarray(0.0, dtype)
         soft_sqrt_info = None
 
-    # association backend resolution: "auto" = on TPU, the block-sparse
-    # kernel when the window is large and cells are Morton-ordered, else
-    # the fused dense Pallas kernel; dense XLA matmul+argmin on CPU
-    # (interpreter mode is only for equivalence tests). All backends
-    # produce identical accepted associations.
-    method = reg.assoc_method
-    if method == "auto":
-        from cfear_radarodometry_code_public_tpu.ops import pallas_assoc
-        m_cells = src.valid.shape[0]
-        m_tar = kf_cells.valid.shape[1]
-        s_act = kf_cells.valid.shape[0]
-        if (jax.default_backend() != "cpu"
-                and cfg.feature.spatial_sort and s_act >= 8
-                and pallas_assoc.supported_sparse(m_cells, m_tar)):
-            method = "pallas_sparse"
-        elif (jax.default_backend() != "cpu"
-                and pallas_assoc.supported(m_cells)):
-            method = "pallas"
-        else:
-            method = "dense"
-    fast_dense = method in ("dense", "pallas", "pallas_sparse")
+    method = resolve_assoc_method(cfg, src.valid.shape[0],
+                                  kf_cells.valid.shape[1],
+                                  kf_cells.valid.shape[0])
+    fast_dense = method in _FAST_DENSE
     if method == "grid":
         buckets = jax.vmap(lambda c: build_buckets(c, cfg))(kf_cells)
     else:
@@ -947,8 +973,20 @@ def sample_covariance(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap,
     gx, gy, gt_ = jnp.meshgrid(xy, xy, th, indexing="ij")
     offs = jnp.stack([gx.ravel(), gy.ravel(), gt_.ravel()], -1)  # (k^3, 3)
 
+    # gate the window + pre-pack the world attributes ONCE at the center
+    # pose: the offsets are centimetre-scale, so the active-keyframe set
+    # and the (fixed) keyframe transforms are shared by all k^3 samples
+    kf_cells, kf_poses, kf_valid = _active_window(
+        kf_cells, kf_poses, kf_valid, pose, cfg)
+    method = resolve_assoc_method(cfg, src.valid.shape[0],
+                                  kf_cells.valid.shape[1],
+                                  kf_cells.valid.shape[0])
+    attrs = (_world_attrs(kf_cells, kf_poses, cfg)
+             if method in _FAST_DENSE else None)
+
     def cost_at(off):
-        c, n = get_cost(kf_cells, kf_poses, kf_valid, src, pose + off, cfg)
+        c, n = get_cost(kf_cells, kf_poses, kf_valid, src, pose + off, cfg,
+                        attrs=attrs)
         return c, n
 
     costs, n_res = jax.vmap(cost_at)(offs)
@@ -985,8 +1023,15 @@ def cost_surface(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, pose,
     grid = jnp.stack([gx.ravel(), gy.ravel(),
                       jnp.zeros_like(gx.ravel())], -1)
 
+    method = resolve_assoc_method(cfg, src.valid.shape[0],
+                                  kf_cells.valid.shape[1],
+                                  kf_cells.valid.shape[0])
+    attrs = (_world_attrs(kf_cells, kf_poses, cfg)
+             if method in _FAST_DENSE else None)
+
     def at(off):
-        c, _ = get_cost(kf_cells, kf_poses, kf_valid, src, pose + off, cfg)
+        c, _ = get_cost(kf_cells, kf_poses, kf_valid, src, pose + off, cfg,
+                        attrs=attrs)
         return c
 
     surface = jax.vmap(at)(grid).reshape(p, p)
@@ -994,17 +1039,33 @@ def cost_surface(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, pose,
 
 
 def get_cost(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, src_pose,
-             cfg: CFEARConfig) -> Tuple[jax.Array, jax.Array]:
+             cfg: CFEARConfig, attrs=None) -> Tuple[jax.Array, jax.Array]:
     """Evaluate the association cost at a fixed pose (no solve).
 
     Equivalent of `GetCost` (`n_scan_normal.cpp:188-213`); used for the
     covariance-by-cost-sampling path (`odometrykeyframefuser.cpp:261-380`).
+    Rides the SAME association backends as `register()` (shared
+    `resolve_assoc_method`), so cost sampling at s50 scale uses the fused
+    Pallas kernels on TPU rather than S dense per-keyframe passes. Callers
+    evaluating many poses against a fixed window should pass pre-packed
+    `attrs` from `_world_attrs` to amortize the keyframe transform.
     Returns (total_cost, num_residual_scalars).
     """
     reg = cfg.registration
-    assoc = associate(kf_cells, kf_poses, kf_valid, src, src_pose,
-                      reg.assoc_radius, cfg)
-    tgt = _target_terms(kf_cells, kf_poses, assoc, cfg)
+    method = resolve_assoc_method(cfg, src.valid.shape[0],
+                                  kf_cells.valid.shape[1],
+                                  kf_cells.valid.shape[0])
+    cos_gate = math.cos(math.radians(reg.angle_outlier_deg))
+    if method in _FAST_DENSE:
+        if attrs is None:
+            attrs = _world_attrs(kf_cells, kf_poses, cfg)
+        assoc, tgt = _associate_world(attrs, src, src_pose, kf_valid,
+                                      reg.assoc_radius, cfg, cos_gate,
+                                      method)
+    else:
+        assoc = associate(kf_cells, kf_poses, kf_valid, src, src_pose,
+                          reg.assoc_radius, cfg)
+        tgt = _target_terms(kf_cells, kf_poses, assoc, cfg)
     dummy_info = jnp.eye(3, dtype=src_pose.dtype)
     cost, _, _ = _cost_grad_hess(src_pose, src, tgt, assoc, cfg, src_pose,
                                  jnp.asarray(0.0, src_pose.dtype), dummy_info)
