@@ -152,6 +152,13 @@ class RegistrationConfig:
     # always pays max_itr_solver iterations). Off by default: equal-or-
     # slower than packed XLA on this hardware, kept as a working option.
     use_fused_lm: bool = False
+    # time-continuous registration (`RegisterTimeContinuous`,
+    # `n_scan_normal.cpp:67-80`): pre-warp each source cell by the scaled
+    # frame velocity at its relative scan time before the solve. The
+    # reference keeps it flag-gated off ("doesn't improve results",
+    # `n_scan_normal.cpp:227`); same default here. A/B drift artifact:
+    # eval_results/TIME_CONTINUOUS_AB.txt
+    time_continuous: bool = False
     # unroll the LM and outer association loops into straight-line masked
     # code: identical results, no loop-sync overhead — but always pays max
     # iterations, which measured SLOWER than the while-loops on both CPU and

@@ -127,7 +127,10 @@ def _extract_cells(state: OdometryState, inp, cfg: CFEARConfig,
             pts = filtering.points_from_candidates(inp, cfg)
         else:
             pts = filtering.filter_polar_image(inp, cfg)
-    if cfg.odometry.compensate:
+    # with time-continuous registration the velocity warp moves into the
+    # solver (`register_time_continuous`), replacing the cloud-level
+    # de-skew — applying both would compensate the distortion twice
+    if cfg.odometry.compensate and not cfg.registration.time_continuous:
         with jax.named_scope("compensate"):
             xy = se2.compensate_points(pts.xy, state.tmot, cfg.radar.ccw)
             pts = pts._replace(xy=xy)
@@ -171,6 +174,18 @@ def _fuse_frame(state: OdometryState, cells: CellMap, cfg: CFEARConfig
     guess = se2.compose(state.t_prev, state.tmot) if odo.use_guess \
         else state.t_prev
 
+    if cfg.registration.time_continuous:
+        # time-continuous mode (`RegisterTimeContinuous`,
+        # `n_scan_normal.cpp:67-80`): the velocity warp runs at CELL level
+        # (`MapPointNormal::Compensate`, `pointnormal.cpp:113-133`) with
+        # velocity = previous frame-to-frame motion, fixed during the
+        # solve. Warping `cells` here before register() is exactly the
+        # `register_time_continuous` library call, AND the warped cells
+        # enter the keyframe window (mirroring the de-skewed clouds the
+        # default cloud-level compensation path stores).
+        with jax.named_scope("compensate"):
+            cells = features.compensate_cells(cells, state.tmot,
+                                              cfg.radar.ccw)
     with jax.named_scope("register"):
         res = registration.register(
             state.kf_cells, state.kf_poses, state.kf_valid, cells, guess,

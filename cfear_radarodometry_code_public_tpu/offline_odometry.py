@@ -65,7 +65,8 @@ def build_config(args):
             min_assoc_fraction=args.min_assoc_fraction,
             max_score=args.max_score,
             disable_registration=args.disable_registration or None,
-            soft_constraint=args.soft_constraint or None).items()
+            soft_constraint=args.soft_constraint or None,
+            time_continuous=args.time_continuous or None).items()
            if v is not None})
     odo = dataclasses.replace(
         cfg.odometry,
@@ -252,6 +253,12 @@ def main(argv=None):
     ap.add_argument("--covar_scale", type=float, default=None)
     ap.add_argument("--regularization", type=float, default=None)
     ap.add_argument("--soft_constraint", action="store_true", default=False)
+    ap.add_argument("--time_continuous", action="store_true", default=False,
+                    help="time-continuous registration: pre-warp source "
+                         "cells by the frame velocity at their relative "
+                         "scan time (`RegisterTimeContinuous`, "
+                         "`n_scan_normal.cpp:67-80`; off by default like "
+                         "the reference)")
     ap.add_argument("--disable_registration", action="store_true",
                     default=False,
                     help="pass the motion guess through unrefined "

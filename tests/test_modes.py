@@ -81,6 +81,33 @@ def test_time_continuous_register_with_distorted_scan():
     assert err_cont <= err_plain + 0.02
 
 
+def test_time_continuous_pipeline_flag():
+    """`registration.time_continuous` wires `register_time_continuous` into
+    the per-frame pipeline (config + CLI surface of `RegisterTimeContinuous`,
+    `n_scan_normal.cpp:67-80`): the flagged run must track the same
+    trajectory class as the default run (the reference reports the variant
+    as drift-neutral, `n_scan_normal.cpp:227`)."""
+    cfg = _cfg()
+    images, gt = synthetic.make_sequence(seed=29, n_frames=16, cfg=cfg,
+                                         speed=8.0)
+
+    def run(tc):
+        c = cfg.replace(registration=dataclasses.replace(
+            cfg.registration, time_continuous=tc))
+        runner = odometry.OdometryRunner(c, chunk=8)
+        runner.process(images)
+        assert bool(runner.frame_outputs().success.all())
+        return runner.trajectory()
+
+    t_off, t_on = run(False), run(True)
+    assert np.isfinite(t_on).all()
+    a_off = ate_rmse(t_off[:, :2], gt[:, :2])
+    a_on = ate_rmse(t_on[:, :2], gt[:, :2])
+    # both track; the warp changes poses by at most cm-scale here
+    assert a_on < max(2.0 * a_off, 0.35)
+    assert np.max(np.linalg.norm(t_on[:, :2] - t_off[:, :2], axis=1)) < 1.0
+
+
 def test_covariance_sampling_convex_case():
     cfg = _cfg()
     cfg = cfg.replace(odometry=dataclasses.replace(

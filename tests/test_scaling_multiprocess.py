@@ -10,16 +10,23 @@ owning one CPU device of a global mesh, stepping the REAL
 device). Aggregate throughput is compared against a single pinned process
 running the identical per-process workload — textbook weak scaling.
 
-The measured efficiency is appended to
-`eval_results/SCALING_multiprocess_odometry.txt` so the number is a
-committed artifact, not just a green checkmark.
+VERDICT r3 weakness #1 (the one red test): a single timed pass on a busy
+2-core box is far noisier than a hard >=0.8 assert — reruns ranged
+1.002 / 0.809 / 0.604. This version applies the bench's own repeat
+discipline: each launch times THREE barrier-separated passes, launches are
+interleaved baseline/multi/baseline/multi so slow machine-load drift
+cancels, the assert is on the MEDIAN efficiency, and the artifact
+(`eval_results/SCALING_multiprocess_odometry.txt`) records every sample +
+the spread, not one number.
 """
 
 import os
 import shutil
 import socket
+import statistics
 import subprocess
 import sys
+import tempfile
 
 import pytest
 
@@ -31,12 +38,20 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
 import jax
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache shared across the interleaved launches: the
+# traced program is identical for every launch of the same nproc, so only
+# the first launch pays XLA compilation
+cache_dir = os.environ.get("SCALING_TEST_CACHE")
+if cache_dir:
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 pid = int(sys.argv[1])
 nproc = int(sys.argv[2])
 port = sys.argv[3]
-frames = int(sys.argv[4])
+frames = int(sys.argv[4])   # frames per timed pass
 chunk = int(sys.argv[5])
+passes = int(sys.argv[6])
 
 if nproc > 1:
     from cfear_radarodometry_code_public_tpu.parallel import distributed
@@ -63,8 +78,8 @@ init_fn, step_chunk, shard_batch, bootstrap_batch = \
     meshmod.make_batched_runner(cfg, mesh, ingest="image")
 
 # every process renders ITS OWN sequence (weak scaling: one per device)
-images, _ = synthetic.make_sequence(seed=100 + pid, n_frames=frames, cfg=cfg,
-                                    speed=5.0)
+images, _ = synthetic.make_sequence(seed=100 + pid, n_frames=1 + chunk,
+                                    cfg=cfg, speed=5.0)
 
 def make_global(local):
     # per-process local shard (1, ...) -> global array (N, ...)
@@ -77,6 +92,11 @@ def fetch_sync(arr):
     # block until the local shard is computed (cross-process safe)
     return np.asarray(arr.addressable_shards[0].data)
 
+def barrier(tag):
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(tag)
+
 # states: build locally (B_local = 1) -> global
 local_states = jax.tree.map(
     lambda a: np.asarray(a)[None],
@@ -85,42 +105,48 @@ states = jax.tree.map(make_global, local_states)
 first = make_global(images[None, 0])
 states, _ = bootstrap_batch(states, first)
 
-def chunk_in(lo, hi):
-    return make_global(images[None, lo:hi])
+assert frames % chunk == 0
+launches = frames // chunk
+chunk_img = make_global(images[None, 1:1 + chunk])
 
 # warm-up pass (compile + steady state)
-n_timed = 1 + ((frames - 1) // chunk) * chunk
-states_w, out = step_chunk(states, chunk_in(1, 1 + chunk))
+states_w, out = step_chunk(states, chunk_img)
 fetch_sync(out.pose)
 
-# barrier so all processes start the timed loop together
-if nproc > 1:
-    from jax.experimental import multihost_utils
-    multihost_utils.sync_global_devices("timed_start")
-
-t0 = time.time()
-st = states
-for lo in range(1, n_timed, chunk):
-    st, out = step_chunk(st, chunk_in(lo, lo + chunk))
-fetch_sync(out.pose)
-wall = time.time() - t0
-fps_local = (n_timed - 1) / wall
-print(f"RESULT pid={pid} fps_per_process={fps_local:.3f} wall={wall:.2f}",
-      flush=True)
+# timed passes, barrier-separated so every process times the same
+# co-scheduled compute region (the COMPUTE weak-scaling of the sharded
+# step; the CPU runtime's ~3.5 s per-launch cross-process coordination
+# barrier — absent on hardware-synchronized TPU pods — is amortized by
+# the chunk=96 single-launch pass)
+for k in range(passes):
+    barrier(f"pass_{k}")
+    t0 = time.perf_counter()
+    st = states
+    for _ in range(launches):
+        st, out = step_chunk(st, chunk_img)
+    fetch_sync(out.pose)
+    wall = time.perf_counter() - t0
+    print(f"RESULT pid={pid} pass={k} fps_per_process={frames / wall:.3f} "
+          f"wall={wall:.2f}", flush=True)
 """
 
 
-def _run(nproc, port, frames=49, chunk=16, timeout=600):
+def _run(nproc, port, frames=96, chunk=96, passes=3, timeout=900,
+         cache_dir=None):
+    """Launch nproc pinned workers; return per-pass fps lists, one per
+    process: [[fps_pass0, fps_pass1, ...], ...]."""
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if cache_dir:
+        env["SCALING_TEST_CACHE"] = cache_dir
     script = os.path.join("/tmp", f"scaling_worker_{os.getpid()}.py")
     with open(script, "w") as f:
         f.write(_WORKER)
     procs = []
     for pid in range(nproc):
         cmd = [sys.executable, script, str(pid), str(nproc), port,
-               str(frames), str(chunk)]
+               str(frames), str(chunk), str(passes)]
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", str(pid)] + cmd
         procs.append(subprocess.Popen(
@@ -138,22 +164,23 @@ def _run(nproc, port, frames=49, chunk=16, timeout=600):
         assert p.returncode == 0, f"pid {pid}:\n{out[-3000:]}"
     fps = []
     for out in outs:
+        vals = {}
         for ln in out.splitlines():
             if ln.startswith("RESULT"):
-                fps.append(float(ln.split("fps_per_process=")[1].split()[0]))
+                k = int(ln.split("pass=")[1].split()[0])
+                vals[k] = float(ln.split("fps_per_process=")[1].split()[0])
+        assert len(vals) == passes, out[-3000:]
+        fps.append([vals[k] for k in range(passes)])
     assert len(fps) == nproc, outs
     return fps
 
 
 @pytest.mark.slow
 def test_weak_scaling_sharded_odometry():
-    """One timed launch per pass (frames=97, chunk=96): the CPU backend's
-    cross-process dispatch pays a ~3.5 s coordination barrier PER LAUNCH
-    (measured: chunk=16 -> 3 launches -> efficiency 0.18; chunk=96 -> 1
-    launch -> 1.05), an artifact of the gloo/TCP multi-process CPU runtime
-    that real TPU-pod launches (hardware-synchronized, ~us) do not pay.
-    With the per-launch barrier amortized, the measured number is the
-    COMPUTE weak-scaling of the actual sharded step."""
+    """Median-of-samples weak scaling (see module docstring). Two
+    interleaved launches per mode x three timed passes per launch = six
+    baseline and six aggregate samples; the efficiency assert is on the
+    medians and the artifact reports every sample + the spread."""
     nproc = min(2, os.cpu_count() or 1)
     if nproc < 2:
         pytest.skip("needs >= 2 cores for a meaningful weak-scaling run")
@@ -163,12 +190,26 @@ def test_weak_scaling_sharded_odometry():
             s.bind(("127.0.0.1", 0))
             return str(s.getsockname()[1])
 
-    # baseline: ONE pinned process, one device, same per-process work
-    base_fps = _run(1, free_port(), frames=97, chunk=96)[0]
-    # N pinned processes stepping the global sharded mesh together
-    multi_fps = _run(nproc, free_port(), frames=97, chunk=96)
-    agg = sum(multi_fps)
-    eff = agg / (nproc * base_fps)
+    passes, trials = 3, 2
+    base_samples, agg_samples = [], []
+    with tempfile.TemporaryDirectory(prefix="scaling_cache_") as cache:
+        for _ in range(trials):
+            # interleaved: baseline then multi, so machine-load drift hits
+            # both modes alike
+            base = _run(1, free_port(), passes=passes, cache_dir=cache)[0]
+            base_samples.extend(base)
+            multi = _run(nproc, free_port(), passes=passes, cache_dir=cache)
+            # aggregate throughput per pass = sum of the co-scheduled
+            # processes' fps for that pass
+            for k in range(passes):
+                agg_samples.append(sum(proc[k] for proc in multi))
+
+    base_med = statistics.median(base_samples)
+    agg_med = statistics.median(agg_samples)
+    eff_med = agg_med / (nproc * base_med)
+    # per-sample efficiencies (pairing sorted samples would overstate
+    # stability; this is spread reporting only)
+    effs = sorted(a / (nproc * base_med) for a in agg_samples)
 
     art = os.path.join(_REPO, "eval_results",
                        "SCALING_multiprocess_odometry.txt")
@@ -180,10 +221,19 @@ def test_weak_scaling_sharded_odometry():
             "mesh; baseline = 1 pinned process, identical per-process "
             "work; 96-frame chunks = one launch per timed pass so the CPU "
             "runtime's ~3.5 s per-launch cross-process barrier — absent on "
-            "real TPU pods — is amortized out of the compute measurement)\n"
-            f"single-process fps: {base_fps:.3f}\n"
-            f"per-process fps at n={nproc}: "
-            f"{[round(v, 3) for v in multi_fps]}\n"
-            f"aggregate fps: {agg:.3f}\n"
-            f"weak-scaling efficiency: {eff:.3f} (target >= 0.8)\n")
-    assert eff >= 0.8, f"weak-scaling efficiency {eff:.3f} < 0.8"
+            "real TPU pods — is amortized out of the compute measurement; "
+            f"{trials} interleaved launches per mode x {passes} "
+            "barrier-separated timed passes, assert on the median)\n"
+            f"single-process fps samples: "
+            f"{[round(v, 3) for v in base_samples]}\n"
+            f"aggregate fps samples at n={nproc}: "
+            f"{[round(v, 3) for v in agg_samples]}\n"
+            f"median single-process fps: {base_med:.3f}\n"
+            f"median aggregate fps: {agg_med:.3f}\n"
+            f"median weak-scaling efficiency: {eff_med:.3f} "
+            "(target >= 0.8)\n"
+            f"per-sample efficiency spread (vs median baseline): "
+            f"min {effs[0]:.3f} / max {effs[-1]:.3f}\n")
+    assert eff_med >= 0.8, (
+        f"median weak-scaling efficiency {eff_med:.3f} < 0.8 "
+        f"(samples: {effs})")
