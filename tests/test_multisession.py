@@ -1,0 +1,150 @@
+"""Multi-session SLAM: two sessions over ONE world merge into one frame.
+
+VERDICT r3 missing #2 / SURVEY §7 step 8: cross-session loop detection
+(ring-key matching between two graphs' scan payloads) + joint optimization
+with inter-session LOOP_APPEARANCE edges. Session B drives a stretch of
+session A's route (same world, different sensor noise, its own odometry
+frame, started mid-route), so the merged estimate must place B's keyframes
+at their world positions — while a naive identity alignment is off by the
+whole route offset.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from cfear_radarodometry_code_public_tpu.config import preset
+from cfear_radarodometry_code_public_tpu.datasets import synthetic
+from cfear_radarodometry_code_public_tpu.models import (multisession,
+                                                        odometry, posegraph)
+
+N_A, B_LO, B_HI = 48, 16, 44
+
+
+def _cfg():
+    cfg = preset("CFEAR-3", dataset="synthetic")
+    return cfg.replace(
+        feature=dataclasses.replace(cfg.feature, max_cells=256),
+        filter=dataclasses.replace(cfg.filter, k_strongest=8))
+
+
+def _render_route(world, route, cfg, seed):
+    imgs = []
+    for i in range(len(route)):
+        prev = route[i - 1] if i > 0 else route[i]
+        c, s = np.cos(prev[2]), np.sin(prev[2])
+        dx, dy = route[i, 0] - prev[0], route[i, 1] - prev[1]
+        motion = np.array([c * dx + s * dy, -s * dx + c * dy,
+                           route[i, 2] - prev[2]])
+        imgs.append(synthetic.render_polar(
+            world, route[i], cfg, np.random.default_rng(seed + i),
+            motion=motion))
+    return np.stack(imgs)
+
+
+def _run_session(images, cfg):
+    runner = odometry.OdometryRunner(cfg, chunk=8)
+    runner.process(images)
+    out = runner.frame_outputs()
+    traj = np.asarray(runner.trajectory())
+    gb = posegraph.build_graph_from_odometry(out, traj, images=images,
+                                             cfg=cfg)
+    return gb, traj, np.where(np.asarray(out.fused))[0]
+
+
+@pytest.fixture(scope="module")
+def sessions():
+    cfg = _cfg()
+    rng = np.random.default_rng(42)
+    world = synthetic.make_world(rng)
+    traj_a = synthetic.make_trajectory(np.random.default_rng(43), N_A,
+                                       dt=cfg.radar.sensor_period, speed=8.0)
+    route_b = traj_a[B_LO:B_HI]         # same route, revisited
+    imgs_a = _render_route(world, traj_a, cfg, seed=100)
+    imgs_b = _render_route(world, route_b, cfg, seed=900)  # fresh speckle
+    gb_a, traj_est_a, kf_a = _run_session(imgs_a, cfg)
+    gb_b, traj_est_b, kf_b = _run_session(imgs_b, cfg)
+    return dict(cfg=cfg, traj_a=traj_a, route_b=route_b,
+                gb_a=gb_a, gb_b=gb_b, kf_a=kf_a, kf_b=kf_b)
+
+
+def test_cross_session_matching_and_alignment(sessions):
+    cfg = sessions["cfg"]
+    matches = multisession.cross_session_matches(
+        sessions["gb_a"], sessions["gb_b"], cfg)
+    assert len(matches) >= 2, "revisited route must produce verified matches"
+    t_ab, inliers = multisession.align_from_matches(
+        sessions["gb_a"], sessions["gb_b"], matches)
+    assert len(inliers) >= 2
+    # true alignment: B's odometry frame sits at world pose route_b[0]
+    # (session A's frame IS the world frame up to A's drift at these
+    # path lengths — sub-decimetre)
+    t_true = sessions["route_b"][0]
+    assert np.linalg.norm(t_ab[:2] - t_true[:2]) < 1.0, (t_ab, t_true)
+    assert abs(np.angle(np.exp(1j * (t_ab[2] - t_true[2])))) < 0.06
+
+
+def test_merge_sessions_joint_optimization(sessions):
+    cfg = sessions["cfg"]
+    gb_a, gb_b = sessions["gb_a"], sessions["gb_b"]
+    ka = len(gb_a.poses)
+    opt, joint, inliers, t_ab = multisession.merge_sessions(
+        gb_a, gb_b, cfg)
+    assert len(joint.poses) == ka + len(gb_b.poses)
+    # inter-session edges present and typed LOOP_APPEARANCE
+    cross = [e for e in joint.edges
+             if e[4] == posegraph.LOOP_APPEARANCE
+             and (e[0] < ka) != (e[1] < ka)]
+    assert len(cross) == len(inliers) >= 2
+    # both sessions' odometry chains survived the merge
+    assert joint.n_constraints(posegraph.ODOMETRY) == \
+        gb_a.n_constraints(posegraph.ODOMETRY) \
+        + gb_b.n_constraints(posegraph.ODOMETRY)
+
+    # cross-session accuracy: B's optimized keyframes vs their WORLD
+    # positions (A's frame = world frame up to A's drift)
+    gt_b = sessions["route_b"][sessions["kf_b"]]
+    err_merged = np.sqrt(np.mean(np.sum(
+        (opt[ka:, :2] - gt_b[:, :2]) ** 2, axis=1)))
+    # odometry-only (identity) alignment is off by the route offset
+    naive = np.stack(gb_b.poses)[:, :2]
+    err_naive = np.sqrt(np.mean(np.sum((naive - gt_b[:, :2]) ** 2, axis=1)))
+    assert err_merged < 1.5, err_merged
+    assert err_merged < 0.2 * err_naive, (err_merged, err_naive)
+    # session A's nodes must not be dragged off by the merge
+    gt_a = sessions["traj_a"][sessions["kf_a"]]
+    err_a = np.sqrt(np.mean(np.sum((opt[:ka, :2] - gt_a[:, :2]) ** 2,
+                                   axis=1)))
+    assert err_a < 1.0, err_a
+
+
+def test_merge_sessions_distributed_mesh(sessions):
+    """The joint merged-graph solve runs edge-sharded over a device mesh
+    (the multi-chip path dryrun_multichip exercises)."""
+    import jax
+    from jax.sharding import Mesh
+    cfg = sessions["cfg"]
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    mesh = Mesh(np.array(devs), ("data",))
+    opt_m, joint, _, _ = multisession.merge_sessions(
+        sessions["gb_a"], sessions["gb_b"], cfg, mesh=mesh)
+    opt_s, _, _, _ = multisession.merge_sessions(
+        sessions["gb_a"], sessions["gb_b"], cfg)
+    np.testing.assert_allclose(opt_m, opt_s, atol=5e-2)
+
+
+def test_merge_rejects_disjoint_sessions():
+    """Sessions over DIFFERENT worlds must refuse to merge (no verified
+    overlap), not silently glue unrelated maps."""
+    cfg = _cfg()
+    graphs = []
+    for seed in (3, 4):
+        images, _ = synthetic.make_sequence(seed=seed, n_frames=12, cfg=cfg,
+                                            speed=8.0)
+        gb, _, _ = _run_session(images, cfg)
+        graphs.append(gb)
+    with pytest.raises(ValueError, match="do not overlap"):
+        multisession.merge_sessions(graphs[0], graphs[1], cfg)
