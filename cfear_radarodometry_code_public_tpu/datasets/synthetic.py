@@ -29,18 +29,21 @@ import numpy as np
 def make_world(rng: np.random.Generator, n_walls: int = 18,
                n_scatterers: int = 250, extent: float = 160.0,
                texture_knots: int = 512,
-               n_dynamic: int = 0) -> Dict[str, np.ndarray]:
+               n_dynamic: int = 0,
+               texture_gamma: float = 2.0) -> Dict[str, np.ndarray]:
     """Random world: wall segments with reflectivity texture + scatterers.
 
     `n_dynamic` adds moving point objects (cars: bright multi-scatterer
     clusters with piecewise-constant velocities) that violate the static-
     world assumption — the adversarial ingredient real radar odometry must
-    be robust to."""
+    be robust to. `texture_gamma` shapes the wall reflectivity contrast:
+    1.0 = flat bland walls (hardest for intensity weighting), larger =
+    sparser bright texture."""
     p0 = rng.uniform(-extent, extent, (n_walls, 2))
     ang = rng.uniform(0, 2 * np.pi, n_walls)
     length = rng.uniform(25.0, 100.0, n_walls)
     p1 = p0 + np.stack([np.cos(ang), np.sin(ang)], -1) * length[:, None]
-    texture = rng.uniform(0.35, 1.0, (n_walls, texture_knots)) ** 2
+    texture = rng.uniform(0.35, 1.0, (n_walls, texture_knots)) ** texture_gamma
     # sprinkle a few bright anchor scatterers into each wall's texture
     for s in range(n_walls):
         idx = rng.integers(0, texture_knots, 8)
@@ -121,7 +124,10 @@ def render_polar(world, pose: np.ndarray, cfg, rng: np.random.Generator,
                  motion: np.ndarray | None = None,
                  noise_scale: float = 12.0, t: float = 0.0,
                  dropout_prob: float = 0.0,
-                 speckle_burst_prob: float = 0.0) -> np.ndarray:
+                 speckle_burst_prob: float = 0.0,
+                 azimuth_jitter_rad: float = 0.0,
+                 saturation_m: float = 0.0,
+                 multipath_gain: float = 0.0) -> np.ndarray:
     """Render one polar sweep (A, R) uint8 at `pose`; `motion` is the
     frame-to-frame motion applied fractionally across the sweep.
 
@@ -130,7 +136,13 @@ def render_polar(world, pose: np.ndarray, cfg, rng: np.random.Generator,
     - `dropout_prob`: per-frame chance of a random azimuth wedge whose
       returns are attenuated to the noise floor (receiver blockage)
     - `speckle_burst_prob`: per-frame chance of a burst of bright
-      supra-threshold speckle streaks (interference)"""
+      supra-threshold speckle streaks (interference)
+    - `azimuth_jitter_rad`: per-azimuth pointing noise (encoder jitter)
+    - `saturation_m`: Navtech-style receiver saturation — a bright
+      near-range disc of saturated bins out to this range
+    - `multipath_gain`: double-bounce ghosts — every wall return is echoed
+      at twice its range with this intensity fraction (classic radar
+      multipath ring)"""
     radar = cfg.radar
     a_bins, r_bins = radar.n_azimuths, radar.n_bins
     dr = radar.range_res
@@ -151,6 +163,9 @@ def render_polar(world, pose: np.ndarray, cfg, rng: np.random.Generator,
     origins = np.stack([px, py], -1)
     bearings = (np.arange(a_bins) + 1.0) / a_bins * 2 * np.pi
     world_angles = ang + bearings
+    if azimuth_jitter_rad > 0:
+        world_angles = world_angles + rng.normal(
+            0.0, azimuth_jitter_rad, a_bins)
     dirs = np.stack([np.cos(world_angles), np.sin(world_angles)], -1)
 
     # --- walls: one continuous return per azimuth beam ------------------
@@ -164,6 +179,17 @@ def render_polar(world, pose: np.ndarray, cfg, rng: np.random.Generator,
         rb = np.clip(np.round(rng_f) + drb, 0, r_bins - 1).astype(int)
         wr = np.exp(-0.5 * ((np.round(rng_f) + drb - rng_f) / sig_r) ** 2)
         np.add.at(img, (az, rb), refl_ok * wr)
+    if multipath_gain > 0:
+        # double-bounce ghost: each wall return echoed at 2x its range
+        ghost_f = 2.0 * rng_f + 0.5
+        g_ok = ghost_f < r_bins - 4
+        for drb in range(-3, 4):
+            rb = np.clip(np.round(ghost_f[g_ok]) + drb, 0,
+                         r_bins - 1).astype(int)
+            wr = np.exp(-0.5 * ((np.round(ghost_f[g_ok]) + drb
+                                 - ghost_f[g_ok]) / sig_r) ** 2)
+            np.add.at(img, (az[g_ok], rb),
+                      multipath_gain * refl_ok[g_ok] * wr)
 
     # --- discrete point scatterers (visible only if no wall in front) ---
     scat = world["scatterers"]
@@ -218,6 +244,16 @@ def render_polar(world, pose: np.ndarray, cfg, rng: np.random.Generator,
             lo = int(rng.integers(0, r_bins // 2))
             hi = int(rng.integers(lo + r_bins // 8, r_bins))
             img[az, lo:hi] += rng.exponential(90.0, hi - lo)
+    if saturation_m > 0:
+        # receiver saturation: bright near-range disc (Navtech sweeps
+        # show a saturated blob around the sensor), decaying with range —
+        # injects false structure just beyond the min-distance gate
+        n_sat = int(min(saturation_m / dr, r_bins))
+        if n_sat > 0:
+            prof = 255.0 * np.exp(-1.5 * np.arange(n_sat) / n_sat)
+            img[:, :n_sat] = np.maximum(
+                img[:, :n_sat],
+                prof[None, :] * rng.uniform(0.85, 1.0, (a_bins, 1)))
 
     return np.clip(img, 0, 255).astype(np.uint8)
 
@@ -237,18 +273,27 @@ def make_sequence(seed: int, n_frames: int, cfg, speed: float = 5.0,
                   noise_scale: float = 12.0, trajectory: str = "random",
                   n_dynamic: int = 0, dropout_prob: float = 0.0,
                   speckle_burst_prob: float = 0.0, extent: float = 160.0,
-                  n_walls: int | None = None, n_scatterers: int | None = None):
+                  n_walls: int | None = None, n_scatterers: int | None = None,
+                  texture_gamma: float = 2.0,
+                  azimuth_jitter_rad: float = 0.0,
+                  saturation_m: float = 0.0,
+                  multipath_gain: float = 0.0):
     """Full synthetic sequence: (images (T, A, R) uint8, gt_poses (T, 3)).
 
     The adversarial knobs (`n_dynamic` moving objects, azimuth-wedge
-    `dropout_prob`, `speckle_burst_prob`) harden the world beyond the
-    static, occlusion-light default — see `render_polar`."""
+    `dropout_prob`, `speckle_burst_prob`, encoder `azimuth_jitter_rad`,
+    receiver `saturation_m`, double-bounce `multipath_gain`, wall
+    `texture_gamma` contrast) harden the world beyond the static,
+    occlusion-light default — see `render_polar`. The sensitivity of drift
+    to each knob is the committed robustness envelope
+    (`eval_results/sim_sensitivity.csv`, `tools/run_sim_sensitivity.py`)."""
     rng = np.random.default_rng(seed)
     # keep world density roughly constant when the extent grows
     scale = (extent / 160.0) ** 2
     world = make_world(rng, n_dynamic=n_dynamic, extent=extent,
                        n_walls=n_walls or max(18, int(18 * scale)),
-                       n_scatterers=n_scatterers or max(250, int(250 * scale)))
+                       n_scatterers=n_scatterers or max(250, int(250 * scale)),
+                       texture_gamma=texture_gamma)
     if trajectory == "loop":
         gt = make_loop_trajectory(n_frames, dt=cfg.radar.sensor_period,
                                   speed=speed)
@@ -269,5 +314,8 @@ def make_sequence(seed: int, n_frames: int, cfg, speed: float = 5.0,
         images[i] = render_polar(world, gt[i], cfg, rng, motion=motion,
                                  noise_scale=noise_scale, t=i * dt,
                                  dropout_prob=dropout_prob,
-                                 speckle_burst_prob=speckle_burst_prob)
+                                 speckle_burst_prob=speckle_burst_prob,
+                                 azimuth_jitter_rad=azimuth_jitter_rad,
+                                 saturation_m=saturation_m,
+                                 multipath_gain=multipath_gain)
     return images, gt

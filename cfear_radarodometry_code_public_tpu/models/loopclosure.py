@@ -217,9 +217,10 @@ class LoopCloser:
         # odometric chain distance between the nodes (`relative_distance`,
         # `types.cpp:223-231`) — perceptual aliasing implies a correction
         # comparable to the whole separation, a genuine loop only the
-        # accumulated drift
-        dist_odo = np.asarray([gb.relative_distance(int(a_), int(b_))
-                               for a_, b_ in pairs])
+        # accumulated drift. O(1) per pair via the chain prefix sums
+        # (O(K)-walk-per-pair was host-quadratic at Oxford scale)
+        cum = gb.chain_distances()
+        dist_odo = np.asarray([abs(cum[a_] - cum[b_]) for a_, b_ in pairs])
         corr = np.linalg.norm(rpose[:, :2] - np.concatenate(
             [t_odo[:, :2], t_odo[:, :2]]), axis=1)
         drift_ok = corr <= (lc.max_drift_fraction

@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--batch-list", default="1,4,8")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--n-frames", type=int, default=64)
+    ap.add_argument("--max-cells", type=int, default=2048,
+                    help="cell budget (2048 = the BENCH_s50 config)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -52,6 +54,7 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    import dataclasses
     import jax.numpy as jnp
     from cfear_radarodometry_code_public_tpu.config import preset
     from cfear_radarodometry_code_public_tpu.datasets import synthetic
@@ -60,6 +63,8 @@ def main():
 
     interp = jax.default_backend() == "cpu"
     cfg = preset("CFEAR-3-s50", dataset="oxford")
+    cfg = cfg.replace(feature=dataclasses.replace(
+        cfg.feature, max_cells=args.max_cells))
     print(f"backend={jax.default_backend()} cfg={cfg.name} "
           f"S={cfg.odometry.submap_scan_size} M={cfg.feature.max_cells}")
 

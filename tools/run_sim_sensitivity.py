@@ -1,0 +1,121 @@
+"""Simulator-parameter sensitivity sweep — the simulator-overfit guard.
+
+VERDICT r3 demand #6: the all-synthetic accuracy story needs a defense that
+the headline drift isn't tuned to the simulator's own defaults. This sweep
+holds the PIPELINE config fixed (CFEAR-3, bench-style budgets) and turns
+each SIMULATOR knob away from its default — wall density, texture
+contrast, speckle scale, scatterer count, dynamic objects, azimuth
+(encoder) jitter, receiver saturation, multipath ghosts — asserting drift
+degrades SMOOTHLY (no cliff) across the envelope.
+
+Writes `eval_results/sim_sensitivity.csv`; `tests/test_sim_sensitivity.py`
+asserts the trends on the committed artifact.
+
+Usage: python tools/run_sim_sensitivity.py [--n-frames 128] [--seeds 11,12]
+"""
+
+import argparse
+import csv
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+#: knob -> list of (label, make_sequence overrides); the first level of
+#: each knob is the default world (the shared baseline row is run once)
+KNOBS = {
+    "wall_density": [("walls_9", dict(n_walls=9)),
+                     ("walls_36", dict(n_walls=36))],
+    "texture_contrast": [("gamma_1.0", dict(texture_gamma=1.0)),
+                         ("gamma_4.0", dict(texture_gamma=4.0))],
+    "speckle_scale": [("noise_24", dict(noise_scale=24.0)),
+                      ("noise_36", dict(noise_scale=36.0))],
+    "scatterers": [("scat_60", dict(n_scatterers=60)),
+                   ("scat_800", dict(n_scatterers=800))],
+    "dynamic_objects": [("dyn_20", dict(n_dynamic=20)),
+                        ("dyn_40", dict(n_dynamic=40))],
+    "azimuth_jitter": [("jit_1mrad", dict(azimuth_jitter_rad=1e-3)),
+                       ("jit_3mrad", dict(azimuth_jitter_rad=3e-3))],
+    "saturation": [("sat_8m", dict(saturation_m=8.0)),
+                   ("sat_15m", dict(saturation_m=15.0))],
+    "multipath": [("mp_0.15", dict(multipath_gain=0.15)),
+                  ("mp_0.3", dict(multipath_gain=0.3))],
+}
+
+
+def main(argv=None):
+    import jax
+    # env pre-sets JAX_PLATFORMS=axon (remote TPU; single-tenant tunnel) —
+    # force CPU via jax.config unless the caller explicitly exported
+    # SIM_AB_TPU=1 (setdefault alone cannot override the preset env var)
+    if not os.environ.get("SIM_AB_TPU"):
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from cfear_radarodometry_code_public_tpu.config import preset
+    from cfear_radarodometry_code_public_tpu.datasets import synthetic
+    from cfear_radarodometry_code_public_tpu.models import odometry
+    from cfear_radarodometry_code_public_tpu.eval.kitti import kitti_drift
+    from cfear_radarodometry_code_public_tpu.eval.trajectory import ate_rmse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-frames", type=int, default=128)
+    ap.add_argument("--speed", type=float, default=12.0)
+    ap.add_argument("--seeds", default="11,12")
+    ap.add_argument("--max-cells", type=int, default=1024)
+    ap.add_argument("--out", default="eval_results/sim_sensitivity.csv")
+    ap.add_argument("--knobs", default=",".join(KNOBS))
+    args = ap.parse_args(argv)
+    seeds = [int(s) for s in args.seeds.split(",")]
+
+    cfg = preset("CFEAR-3", dataset="synthetic")
+    cfg = cfg.replace(
+        feature=dataclasses.replace(cfg.feature, max_cells=args.max_cells))
+
+    def run(seed, overrides):
+        images, gt = synthetic.make_sequence(
+            seed=seed, n_frames=args.n_frames, cfg=cfg, speed=args.speed,
+            **overrides)
+        runner = odometry.OdometryRunner(cfg, chunk=16)
+        runner.process(images)
+        traj = np.asarray(runner.trajectory())
+        gt = np.asarray(gt)
+        path = float(np.sum(np.linalg.norm(np.diff(gt[:, :2], axis=0),
+                                           axis=1)))
+        lengths = tuple(L for L in (50.0, 100.0, 200.0)
+                        if L < 0.6 * path)
+        d = kitti_drift(traj, gt, lengths=lengths)
+        fails = int((~np.asarray(runner.frame_outputs().success)).sum())
+        return dict(t_err_percent=round(d["t_err_percent"], 4),
+                    r_err_deg_per_m=round(d["r_err_deg_per_m"], 5),
+                    ate_m=round(float(ate_rmse(traj[:, :2], gt[:, :2])), 4),
+                    registration_failures=fails)
+
+    rows = []
+    for seed in seeds:
+        t0 = time.time()
+        base = run(seed, {})
+        rows.append(dict(knob="baseline", level="default", seed=seed,
+                         **base))
+        print(f"seed {seed} baseline: {base} ({time.time() - t0:.0f}s)",
+              flush=True)
+        for knob in args.knobs.split(","):
+            for label, ov in KNOBS[knob]:
+                t0 = time.time()
+                r = run(seed, ov)
+                rows.append(dict(knob=knob, level=label, seed=seed, **r))
+                print(f"seed {seed} {knob}/{label}: {r} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"wrote {args.out} ({len(rows)} rows)")
+
+
+if __name__ == "__main__":
+    main()

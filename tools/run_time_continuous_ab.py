@@ -24,7 +24,10 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 def main(argv=None):
     import jax
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # env pre-sets JAX_PLATFORMS=axon (remote TPU; single-tenant tunnel) —
+    # force CPU via jax.config unless the caller explicitly exported
+    # SIM_AB_TPU=1 (setdefault alone cannot override the preset env var)
+    if not os.environ.get("SIM_AB_TPU"):
         jax.config.update("jax_platforms", "cpu")
     import numpy as np
     from cfear_radarodometry_code_public_tpu.config import preset
