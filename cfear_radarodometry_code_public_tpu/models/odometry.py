@@ -438,9 +438,9 @@ class OdometryRunner:
         np.savez_compressed(path, **payload)
 
     @classmethod
-    def resume(cls, cfg: CFEARConfig, path: str, chunk: int = 16
-               ) -> "OdometryRunner":
-        runner = cls(cfg, chunk=chunk)
+    def resume(cls, cfg: CFEARConfig, path: str, chunk: int = 16,
+               ingest: str = "image") -> "OdometryRunner":
+        runner = cls(cfg, chunk=chunk, ingest=ingest)
         z = np.load(path)
         leaves, treedef = jax.tree.flatten(runner.state)
         new_leaves = [jnp.asarray(z[f"state_{i}"]).astype(l.dtype)

@@ -316,6 +316,132 @@ def nn_min_sparse(src_xy, src_bounds, tar_xy, tar_bounds, tar_valid,
     return nn[..., 0], d2[..., 0]
 
 
+def _nn_sparse_attrs_kernel(n_tt, tt, sb_ref, tb_ref, r2_ref,
+                            sx_ref, sy_ref, tx_ref, ty_ref, mask_ref,
+                            at_ref, nn_ref, d2_ref, g_ref,
+                            best_scr, barg_scr, gsel_scr):
+    """Block-sparse 1-NN + fused attribute lookup.
+
+    Extends `_nn_sparse_kernel`: for every EXECUTED (src tile, tar tile)
+    pair, the winning target's attribute columns are selected on the MXU
+    via a local one-hot contraction (at_tile (D, TT) @ onehot^T (TT, TS))
+    and carried in VMEM scratch next to the running (min, argmin) — the
+    separate per-iteration XLA one-hot/gather pass (4.5 ms at s50 B8) and
+    its HBM round-trip disappear. Selection via one-hot dot is EXACT: each
+    row has exactly one 1.0, products 1.0*x and 0.0*x are exact, and at
+    most one nonzero enters each sum (HIGHEST precision keeps f32 operands
+    unsplit). Rows whose every pair was skipped report (+inf, 0, zeros);
+    the downstream radius gate rejects them either way."""
+    j = pl.program_id(1)                   # source tile
+    sx = sx_ref[...]                       # (TS, 1)
+    sy = sy_ref[...]
+    best_scr[...] = jnp.full(best_scr.shape, jnp.inf, jnp.float32)
+    barg_scr[...] = jnp.zeros(barg_scr.shape, jnp.int32)
+    gsel_scr[...] = jnp.zeros(gsel_scr.shape, jnp.float32)
+    ts = sx.shape[0]
+    sxmin = sb_ref[j, 0]
+    sxmax = sb_ref[j, 1]
+    symin = sb_ref[j, 2]
+    symax = sb_ref[j, 3]
+    i = pl.program_id(0)                   # keyframe
+    for jt in range(n_tt):
+        gapx = jnp.maximum(jnp.maximum(tb_ref[i, jt, 0] - sxmax,
+                                       sxmin - tb_ref[i, jt, 1]), 0.0)
+        gapy = jnp.maximum(jnp.maximum(tb_ref[i, jt, 2] - symax,
+                                       symin - tb_ref[i, jt, 3]), 0.0)
+
+        @pl.when(gapx * gapx + gapy * gapy <= r2_ref[0])
+        def _():
+            tx = tx_ref[0, jt * tt:(jt + 1) * tt]      # (1, TT) static
+            ty = ty_ref[0, jt * tt:(jt + 1) * tt]
+            msk = mask_ref[0, jt * tt:(jt + 1) * tt]
+            at = at_ref[:, jt * tt:(jt + 1) * tt]      # (D_pad, TT)
+            dx = sx - tx                                # (TS, TT)
+            dy = sy - ty
+            d2 = dx * dx + dy * dy + msk
+            lmin = jnp.min(d2, axis=1, keepdims=True)   # (TS, 1)
+            larg_l = jnp.argmin(d2, axis=1, keepdims=True).astype(jnp.int32)
+            larg = larg_l + jt * tt
+            better = lmin < best_scr[...]   # strict '<': earlier (lower
+            # index) tiles win exact ties, like jnp.argmin
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (ts, tt), 1)
+                  == larg_l).astype(jnp.float32)        # (TS, TT)
+            g_new = jax.lax.dot_general(
+                at, oh, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)    # (D_pad, TS)
+            gsel_scr[...] = jnp.where(better.reshape(1, ts), g_new,
+                                      gsel_scr[...])
+            barg_scr[...] = jnp.where(better, larg, barg_scr[...])
+            best_scr[...] = jnp.where(better, lmin, best_scr[...])
+
+    nn_ref[...] = barg_scr[...].reshape(nn_ref.shape)
+    d2_ref[...] = best_scr[...].reshape(d2_ref.shape)
+    g_ref[...] = gsel_scr[...].reshape(g_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "ts"))
+def nn_min_sparse_attrs(src_xy, src_bounds, tar_xy, tar_bounds, tar_valid,
+                        attrs_t, radius, interpret: bool = False,
+                        ts: int = 256):
+    """`nn_min_sparse` + fused attribute lookup in one kernel pass.
+
+    attrs_t: (S, D_pad, M) f32 — the world-attribute matrix of
+    `registration._world_attrs`, TRANSPOSED so the cell axis is the
+    128-aligned lane dimension (D_pad = 8 or 16, the f32 sublane tile).
+    Returns (nn (S, M_src) i32, d2 (S, M_src) f32, g (S, D_pad, M_src)
+    f32) with g[i, :, n] = attrs_t[i, :, nn[i, n]] for every row whose
+    1-NN lies within `radius` (zeros for skipped rows — which the radius
+    gate rejects regardless)."""
+    s, m = tar_valid.shape
+    m_src = src_xy.shape[0]
+    tt = _TT_SPARSE
+    d_pad = attrs_t.shape[1]
+    if m_src % ts or m % tt:
+        raise ValueError(
+            f"nn_min_sparse_attrs: m_src={m_src} %% ts={ts} and m_tar={m} "
+            f"%% tt={tt} must both be 0")
+    if d_pad % 8:
+        raise ValueError(f"attrs_t D_pad={d_pad} must be a multiple of 8")
+    sx = src_xy[:, 0:1].astype(jnp.float32)
+    sy = src_xy[:, 1:2].astype(jnp.float32)
+    tx = tar_xy[..., 0].astype(jnp.float32)[:, None, :]   # (S, 1, M)
+    ty = tar_xy[..., 1].astype(jnp.float32)[:, None, :]
+    mask = jnp.where(tar_valid, 0.0, jnp.inf)[:, None, :].astype(jnp.float32)
+    radius = jnp.asarray(radius, jnp.float32)
+    r2 = jnp.reshape(radius * radius, (1,))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(s, m_src // ts),
+        in_specs=[
+            pl.BlockSpec((ts, 1), lambda i, j, *_: (j, 0)),
+            pl.BlockSpec((ts, 1), lambda i, j, *_: (j, 0)),
+            pl.BlockSpec((None, 1, m), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((None, 1, m), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((None, 1, m), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((None, d_pad, m), lambda i, j, *_: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, ts, 1), lambda i, j, *_: (i, j, 0)),
+            pl.BlockSpec((None, ts, 1), lambda i, j, *_: (i, j, 0)),
+            pl.BlockSpec((None, d_pad, ts), lambda i, j, *_: (i, 0, j)),
+        ],
+        scratch_shapes=[pltpu.VMEM((ts, 1), jnp.float32),
+                        pltpu.VMEM((ts, 1), jnp.int32),
+                        pltpu.VMEM((d_pad, ts), jnp.float32)],
+    )
+    nn, d2, g = pl.pallas_call(
+        functools.partial(_nn_sparse_attrs_kernel, m // tt, tt),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((s, m_src, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((s, m_src, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((s, d_pad, m_src), jnp.float32)],
+        interpret=interpret,
+    )(src_bounds.astype(jnp.float32), tar_bounds.astype(jnp.float32), r2,
+      sx, sy, tx, ty, mask, attrs_t.astype(jnp.float32))
+    return nn[..., 0], d2[..., 0], g
+
+
 def tile_bounds(xy, valid, tile: int):
     """Per-contiguous-tile bounding boxes [xmin,xmax,ymin,ymax].
 

@@ -244,6 +244,7 @@ def _associate_world(attrs, src: CellMap, src_pose, kf_valid, radius,
     src_mean_w = se2.transform(src_pose, src.mean)            # (M, 2)
     src_norm_w = se2.rotate(src_pose, src.normal)
 
+    g = None
     if method == "pallas":
         from cfear_radarodometry_code_public_tpu.ops import pallas_assoc
         tar_valid = (attrs[..., 6] > 0.5) & kf_valid[:, None]
@@ -255,15 +256,27 @@ def _associate_world(attrs, src: CellMap, src_pose, kf_valid, radius,
         # bounding boxes are farther apart than the CURRENT association
         # radius — exact for the downstream `ok` gate (see
         # pallas_assoc.nn_min_sparse). Effective when cells are Morton-
-        # ordered (feature.spatial_sort).
+        # ordered (feature.spatial_sort). The attribute lookup rides the
+        # SAME kernel (per-executed-tile one-hot on the MXU,
+        # nn_min_sparse_attrs) — the separate XLA one-hot pass was 4.5 ms
+        # at s50 B8, ~40% of the association iteration.
         from cfear_radarodometry_code_public_tpu.ops import pallas_assoc
         tar_valid = (attrs[..., 6] > 0.5) & kf_valid[:, None]
         sb = pallas_assoc.tile_bounds(src_mean_w, src.valid, 256)
         tb = pallas_assoc.tile_bounds(attrs[..., 0:2], tar_valid,
                                       pallas_assoc._TT_SPARSE)
-        nn_all, d2_all = pallas_assoc.nn_min_sparse(
-            src_mean_w, sb, attrs[..., 0:2], tb, tar_valid, radius,
+        d_attr = attrs.shape[-1]
+        d_pad = 8 if d_attr <= 8 else 16
+        at = jnp.swapaxes(attrs, -1, -2)                 # (S, D, M)
+        at = jnp.pad(at, ((0, 0), (0, d_pad - d_attr), (0, 0)))
+        nn_all, d2_all, g_t = pallas_assoc.nn_min_sparse_attrs(
+            src_mean_w, sb, attrs[..., 0:2], tb, tar_valid, at, radius,
             interpret=jax.default_backend() == "cpu", ts=256)
+        # rows whose 1-NN lies beyond `radius` carry zeros here (the
+        # non-fused path gathers attrs[nn]); both are rejected by the
+        # same `ok` gate below, and every weighted consumer multiplies
+        # by `ok`
+        g = jnp.swapaxes(g_t, -1, -2)[..., :d_attr]
     else:
         src_n2 = jnp.sum(src_mean_w ** 2, -1)
 
@@ -290,7 +303,9 @@ def _associate_world(attrs, src: CellMap, src_pose, kf_valid, radius,
     #    CPU gets the flat gather for ANY S: XLA CPU materializes the
     #    (S, M, M) one-hot operand (~1.9 GB f32 at s50 scale).
     s_kf, m_tar = attrs.shape[0], attrs.shape[1]
-    if s_kf >= 8 and jax.default_backend() != "cpu":
+    if g is not None:
+        pass        # fused in-kernel lookup (pallas_sparse path above)
+    elif s_kf >= 8 and jax.default_backend() != "cpu":
         oh = (nn_all[..., None]
               == jnp.arange(m_tar, dtype=jnp.int32)).astype(attrs.dtype)
         g = jnp.einsum("snm,smd->snd", oh, attrs,

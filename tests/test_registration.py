@@ -547,3 +547,41 @@ def test_fused_lm_matches_packed_xla():
     assert bool(r_x.success) and bool(r_f.success)
     np.testing.assert_allclose(np.asarray(r_f.pose), np.asarray(r_x.pose),
                                atol=1e-4)
+
+
+def test_sparse_attrs_fused_lookup_matches_gather():
+    """`nn_min_sparse_attrs` (in-kernel one-hot attribute selection) must
+    reproduce attrs[nn] BIT-FOR-BIT on every row whose 1-NN lies within
+    the radius, and agree with `nn_min_sparse` on (nn, d2)."""
+    from cfear_radarodometry_code_public_tpu.ops import pallas_assoc as pa
+
+    rng = np.random.default_rng(5)
+    s, m, msrc, ts, radius, d = 4, 1024, 512, 256, 5.0, 7
+    src = rng.normal(size=(msrc, 2)).astype(np.float32) * 60
+    src = src[np.argsort(src[:, 0], kind="stable")]
+    tar = rng.normal(size=(s, m, 2)).astype(np.float32) * 60
+    for k in range(s):
+        tar[k] = tar[k][np.argsort(tar[k][:, 0], kind="stable")]
+    tv = rng.random((s, m)) < 0.8
+    attrs = rng.normal(size=(s, m, d)).astype(np.float32)
+    d_pad = 8
+    at = np.zeros((s, d_pad, m), np.float32)
+    at[:, :d] = np.swapaxes(attrs, -1, -2)
+    sb = pa.tile_bounds(jnp.asarray(src), jnp.ones((msrc,), bool), ts)
+    tb = pa.tile_bounds(jnp.asarray(tar), jnp.asarray(tv), pa._TT_SPARSE)
+    nn, d2, g_t = pa.nn_min_sparse_attrs(
+        jnp.asarray(src), sb, jnp.asarray(tar), tb, jnp.asarray(tv),
+        jnp.asarray(at), radius, interpret=True, ts=ts)
+    nn0, d20 = pa.nn_min_sparse(jnp.asarray(src), sb, jnp.asarray(tar), tb,
+                                jnp.asarray(tv), radius, interpret=True,
+                                ts=ts)
+    nn, d2, g_t = map(np.asarray, (nn, d2, g_t))
+    np.testing.assert_array_equal(nn, np.asarray(nn0))
+    np.testing.assert_array_equal(d2, np.asarray(d20))
+    g = np.swapaxes(g_t, -1, -2)[..., :d]              # (S, Msrc, D)
+    within = d2 <= radius * radius
+    assert within.any()
+    expect = np.take_along_axis(attrs, nn[..., None], axis=1)
+    np.testing.assert_array_equal(g[within], expect[within])
+    # rows with every pair skipped carry zeros
+    assert (g[~np.isfinite(d2)] == 0.0).all()
