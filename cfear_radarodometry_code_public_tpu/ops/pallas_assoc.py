@@ -316,6 +316,211 @@ def nn_min_sparse(src_xy, src_bounds, tar_xy, tar_bounds, tar_valid,
     return nn[..., 0], d2[..., 0]
 
 
+def _nn_sparse_multi_kernel(n_kf, n_tt, tt, sb_ref, tb_ref, r2_ref,
+                            sx_ref, sy_ref, tx_ref, ty_ref, mask_ref,
+                            nn_ref, d2_ref):
+    """Block-sparse 1-NN with the keyframe loop INSIDE the kernel.
+
+    Grid = source tiles only. The (S, m_src/ts) grid of `nn_min_sparse`
+    pays the fixed per-grid-step cost S times per source tile — and vmap
+    over a batch prepends ANOTHER sequential grid dim, so a batch-8 s50
+    association runs 8*50*8 = 3200 thin steps (~2 us each = 6.4 ms of
+    pure overhead). Here the grid is 8*8 = 64 fat steps; each loops over
+    the S keyframes with a `fori_loop` and over target tiles statically,
+    skipping (src tile, tar tile) pairs by the same SMEM bounding-box
+    test."""
+    j = pl.program_id(0)                   # source tile
+    sx = sx_ref[...]                       # (TS, 1)
+    sy = sy_ref[...]
+    ts = sx.shape[0]
+    sxmin = sb_ref[j, 0]
+    sxmax = sb_ref[j, 1]
+    symin = sb_ref[j, 2]
+    symax = sb_ref[j, 3]
+    r2 = r2_ref[0]
+
+    def kf_body(i, _):
+        best = jnp.full((ts, 1), jnp.inf, jnp.float32)
+        barg = jnp.zeros((ts, 1), jnp.int32)
+        for jt in range(n_tt):
+            gapx = jnp.maximum(jnp.maximum(tb_ref[i, jt, 0] - sxmax,
+                                           sxmin - tb_ref[i, jt, 1]), 0.0)
+            gapy = jnp.maximum(jnp.maximum(tb_ref[i, jt, 2] - symax,
+                                           symin - tb_ref[i, jt, 3]), 0.0)
+
+            def hit(best=best, barg=barg, jt=jt):
+                tx = tx_ref[pl.ds(i, 1), jt * tt:(jt + 1) * tt]  # (1, TT)
+                ty = ty_ref[pl.ds(i, 1), jt * tt:(jt + 1) * tt]
+                msk = mask_ref[pl.ds(i, 1), jt * tt:(jt + 1) * tt]
+                dx = sx - tx                                # (TS, TT)
+                dy = sy - ty
+                d2 = dx * dx + dy * dy + msk
+                lmin = jnp.min(d2, axis=1, keepdims=True)
+                larg = (jnp.argmin(d2, axis=1, keepdims=True)
+                        .astype(jnp.int32) + jt * tt)
+                better = lmin < best     # strict '<': lowest-index ties
+                return (jnp.where(better, lmin, best),
+                        jnp.where(better, larg, barg))
+
+            best, barg = jax.lax.cond(
+                gapx * gapx + gapy * gapy <= r2, hit,
+                lambda best=best, barg=barg: (best, barg))
+        nn_ref[pl.ds(i, 1), :] = barg.reshape(1, ts)
+        d2_ref[pl.ds(i, 1), :] = best.reshape(1, ts)
+        return 0
+
+    jax.lax.fori_loop(0, n_kf, kf_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "ts"))
+def nn_min_sparse_multi(src_xy, src_bounds, tar_xy, tar_bounds, tar_valid,
+                        radius, interpret: bool = False, ts: int = 256):
+    """`nn_min_sparse` semantics, keyframe loop in-kernel (see the kernel
+    docstring for why). Identical outputs to `nn_min_sparse`."""
+    s, m = tar_valid.shape
+    m_src = src_xy.shape[0]
+    tt = _TT_SPARSE
+    if m_src % ts or m % tt:
+        raise ValueError(
+            f"nn_min_sparse_multi: m_src={m_src} %% ts={ts} and m_tar={m} "
+            f"%% tt={tt} must both be 0")
+    sx = src_xy[:, 0:1].astype(jnp.float32)
+    sy = src_xy[:, 1:2].astype(jnp.float32)
+    tx = tar_xy[..., 0].astype(jnp.float32)               # (S, M)
+    ty = tar_xy[..., 1].astype(jnp.float32)
+    mask = jnp.where(tar_valid, 0.0, jnp.inf).astype(jnp.float32)
+    radius = jnp.asarray(radius, jnp.float32)
+    r2 = jnp.reshape(radius * radius, (1,))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(m_src // ts,),
+        in_specs=[
+            pl.BlockSpec((ts, 1), lambda j, *_: (j, 0)),
+            pl.BlockSpec((ts, 1), lambda j, *_: (j, 0)),
+            pl.BlockSpec((s, m), lambda j, *_: (0, 0)),
+            pl.BlockSpec((s, m), lambda j, *_: (0, 0)),
+            pl.BlockSpec((s, m), lambda j, *_: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((s, ts), lambda j, *_: (0, j)),
+            pl.BlockSpec((s, ts), lambda j, *_: (0, j)),
+        ],
+    )
+    nn, d2 = pl.pallas_call(
+        functools.partial(_nn_sparse_multi_kernel, s, m // tt, tt),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((s, m_src), jnp.int32),
+                   jax.ShapeDtypeStruct((s, m_src), jnp.float32)],
+        interpret=interpret,
+    )(src_bounds.astype(jnp.float32), tar_bounds.astype(jnp.float32), r2,
+      sx, sy, tx, ty, mask)
+    return nn, d2
+
+
+def _nn_sparse_unrolled_kernel(n_kf, n_tt, tt, sb_ref, tb_ref, r2_ref,
+                               sx_ref, sy_ref, tx_ref, ty_ref, mask_ref,
+                               nn_ref, d2_ref):
+    """Block-sparse 1-NN, keyframes unrolled STATICALLY in-kernel.
+
+    profile_s50 v2 (TPU v5e, 967-cell occupancy, 22.4% executed pairs):
+    the (S, m_src/ts) grid `nn_min_sparse` spends ~85% of its time on
+    per-grid-step fixed costs (3200 thin steps at B8 s50 — scratch init,
+    output writes, pipeline sync), not on the surviving distance tiles;
+    the fori_loop variant (`nn_min_sparse_multi`) trades them for
+    dynamic-slice + loop overhead (9.3 vs 7.3 ms — worse). Here the grid
+    is source tiles only (64 fat steps at B8) and BOTH loops are
+    unrolled at trace time: every target-row slice is static, every
+    (keyframe, tar-tile) pair is one `pl.when`-guarded straight-line
+    block with its SMEM bbox test, and per-keyframe (best, argmin) live
+    in registers between blocks."""
+    j = pl.program_id(0)                   # source tile
+    sx = sx_ref[...]                       # (TS, 1)
+    sy = sy_ref[...]
+    ts = sx.shape[0]
+    sxmin = sb_ref[j, 0]
+    sxmax = sb_ref[j, 1]
+    symin = sb_ref[j, 2]
+    symax = sb_ref[j, 3]
+    r2 = r2_ref[0]
+
+    for i in range(n_kf):
+        best = jnp.full((ts, 1), jnp.inf, jnp.float32)
+        barg = jnp.zeros((ts, 1), jnp.int32)
+        for jt in range(n_tt):
+            gapx = jnp.maximum(jnp.maximum(tb_ref[i, jt, 0] - sxmax,
+                                           sxmin - tb_ref[i, jt, 1]), 0.0)
+            gapy = jnp.maximum(jnp.maximum(tb_ref[i, jt, 2] - symax,
+                                           symin - tb_ref[i, jt, 3]), 0.0)
+
+            def hit(best=best, barg=barg, i=i, jt=jt):
+                tx = tx_ref[i:i + 1, jt * tt:(jt + 1) * tt]    # (1, TT)
+                ty = ty_ref[i:i + 1, jt * tt:(jt + 1) * tt]
+                msk = mask_ref[i:i + 1, jt * tt:(jt + 1) * tt]
+                dx = sx - tx                                # (TS, TT)
+                dy = sy - ty
+                d2 = dx * dx + dy * dy + msk
+                lmin = jnp.min(d2, axis=1, keepdims=True)
+                larg = (jnp.argmin(d2, axis=1, keepdims=True)
+                        .astype(jnp.int32) + jt * tt)
+                better = lmin < best     # strict '<': lowest-index ties
+                return (jnp.where(better, lmin, best),
+                        jnp.where(better, larg, barg))
+
+            best, barg = jax.lax.cond(
+                gapx * gapx + gapy * gapy <= r2, hit,
+                lambda best=best, barg=barg: (best, barg))
+        nn_ref[i:i + 1, :] = barg.reshape(1, ts)
+        d2_ref[i:i + 1, :] = best.reshape(1, ts)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "ts"))
+def nn_min_sparse_unrolled(src_xy, src_bounds, tar_xy, tar_bounds,
+                           tar_valid, radius, interpret: bool = False,
+                           ts: int = 256):
+    """`nn_min_sparse` semantics, statically-unrolled in-kernel keyframe
+    loop (see the kernel docstring). Identical outputs."""
+    s, m = tar_valid.shape
+    m_src = src_xy.shape[0]
+    tt = _TT_SPARSE
+    if m_src % ts or m % tt:
+        raise ValueError(
+            f"nn_min_sparse_unrolled: m_src={m_src} %% ts={ts} and "
+            f"m_tar={m} %% tt={tt} must both be 0")
+    sx = src_xy[:, 0:1].astype(jnp.float32)
+    sy = src_xy[:, 1:2].astype(jnp.float32)
+    tx = tar_xy[..., 0].astype(jnp.float32)               # (S, M)
+    ty = tar_xy[..., 1].astype(jnp.float32)
+    mask = jnp.where(tar_valid, 0.0, jnp.inf).astype(jnp.float32)
+    radius = jnp.asarray(radius, jnp.float32)
+    r2 = jnp.reshape(radius * radius, (1,))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(m_src // ts,),
+        in_specs=[
+            pl.BlockSpec((ts, 1), lambda j, *_: (j, 0)),
+            pl.BlockSpec((ts, 1), lambda j, *_: (j, 0)),
+            pl.BlockSpec((s, m), lambda j, *_: (0, 0)),
+            pl.BlockSpec((s, m), lambda j, *_: (0, 0)),
+            pl.BlockSpec((s, m), lambda j, *_: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((s, ts), lambda j, *_: (0, j)),
+            pl.BlockSpec((s, ts), lambda j, *_: (0, j)),
+        ],
+    )
+    nn, d2 = pl.pallas_call(
+        functools.partial(_nn_sparse_unrolled_kernel, s, m // tt, tt),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((s, m_src), jnp.int32),
+                   jax.ShapeDtypeStruct((s, m_src), jnp.float32)],
+        interpret=interpret,
+    )(src_bounds.astype(jnp.float32), tar_bounds.astype(jnp.float32), r2,
+      sx, sy, tx, ty, mask)
+    return nn, d2
+
+
 def _nn_sparse_attrs_kernel(n_tt, tt, sb_ref, tb_ref, r2_ref,
                             sx_ref, sy_ref, tx_ref, ty_ref, mask_ref,
                             at_ref, nn_ref, d2_ref, g_ref,
@@ -384,6 +589,17 @@ def nn_min_sparse_attrs(src_xy, src_bounds, tar_xy, tar_bounds, tar_valid,
                         attrs_t, radius, interpret: bool = False,
                         ts: int = 256):
     """`nn_min_sparse` + fused attribute lookup in one kernel pass.
+
+    MEASURED NEGATIVE RESULT (kept as a working variant + equivalence
+    test, NOT in the hot path): end-to-end on TPU v5e this is 17-24%
+    SLOWER than nn_min_sparse + the separate XLA one-hot contraction
+    (s50 exact 129.5 -> 107.8 fps/chip, K16 b4 348.9 -> 265.5; r4 bench).
+    The per-executed-pair (D_pad, TT) dots pad D_pad=8 rows onto the
+    128-lane MXU (16x waste) and serialize against the VPU distance
+    reduction, while XLA pipelines one large one-hot matmul at full
+    throughput. The lesson matches pallas_lm: on this hardware, fusing
+    small MXU ops into a VPU kernel loses to separate well-pipelined XLA
+    passes.
 
     attrs_t: (S, D_pad, M) f32 — the world-attribute matrix of
     `registration._world_attrs`, TRANSPOSED so the cell axis is the

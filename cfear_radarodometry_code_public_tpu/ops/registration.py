@@ -256,27 +256,22 @@ def _associate_world(attrs, src: CellMap, src_pose, kf_valid, radius,
         # bounding boxes are farther apart than the CURRENT association
         # radius — exact for the downstream `ok` gate (see
         # pallas_assoc.nn_min_sparse). Effective when cells are Morton-
-        # ordered (feature.spatial_sort). The attribute lookup rides the
-        # SAME kernel (per-executed-tile one-hot on the MXU,
-        # nn_min_sparse_attrs) — the separate XLA one-hot pass was 4.5 ms
-        # at s50 B8, ~40% of the association iteration.
+        # ordered (feature.spatial_sort). The attribute lookup stays the
+        # SEPARATE XLA one-hot below: the fused in-kernel variant
+        # (nn_min_sparse_attrs) measured 17-24% SLOWER end-to-end on TPU
+        # v5e (s50 exact 129.5 -> 107.8 fps/chip, K16 b4 348.9 -> 265.5)
+        # — the per-executed-pair (D_pad=8, TT) MXU dots pad the 8-row
+        # operand to the 128-lane systolic array and interleave poorly
+        # with the VPU distance work, while XLA pipelines the one big
+        # one-hot contraction at full rate.
         from cfear_radarodometry_code_public_tpu.ops import pallas_assoc
         tar_valid = (attrs[..., 6] > 0.5) & kf_valid[:, None]
         sb = pallas_assoc.tile_bounds(src_mean_w, src.valid, 256)
         tb = pallas_assoc.tile_bounds(attrs[..., 0:2], tar_valid,
                                       pallas_assoc._TT_SPARSE)
-        d_attr = attrs.shape[-1]
-        d_pad = 8 if d_attr <= 8 else 16
-        at = jnp.swapaxes(attrs, -1, -2)                 # (S, D, M)
-        at = jnp.pad(at, ((0, 0), (0, d_pad - d_attr), (0, 0)))
-        nn_all, d2_all, g_t = pallas_assoc.nn_min_sparse_attrs(
-            src_mean_w, sb, attrs[..., 0:2], tb, tar_valid, at, radius,
+        nn_all, d2_all = pallas_assoc.nn_min_sparse(
+            src_mean_w, sb, attrs[..., 0:2], tb, tar_valid, radius,
             interpret=jax.default_backend() == "cpu", ts=256)
-        # rows whose 1-NN lies beyond `radius` carry zeros here (the
-        # non-fused path gathers attrs[nn]); both are rejected by the
-        # same `ok` gate below, and every weighted consumer multiplies
-        # by `ok`
-        g = jnp.swapaxes(g_t, -1, -2)[..., :d_attr]
     else:
         src_n2 = jnp.sum(src_mean_w ** 2, -1)
 

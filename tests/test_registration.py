@@ -585,3 +585,29 @@ def test_sparse_attrs_fused_lookup_matches_gather():
     np.testing.assert_array_equal(g[within], expect[within])
     # rows with every pair skipped carry zeros
     assert (g[~np.isfinite(d2)] == 0.0).all()
+
+
+def test_sparse_multi_kernel_matches_sparse():
+    """`nn_min_sparse_multi` (in-kernel keyframe fori_loop + bbox tile
+    skipping) must reproduce `nn_min_sparse` exactly — same arithmetic,
+    same lowest-index tie-break, same (+inf, 0) skipped rows."""
+    from cfear_radarodometry_code_public_tpu.ops import pallas_assoc as pa
+
+    rng = np.random.default_rng(9)
+    s, m, msrc, ts, radius = 6, 1024, 512, 256, 5.0
+    src = rng.normal(size=(msrc, 2)).astype(np.float32) * 60
+    src = src[np.argsort(src[:, 0], kind="stable")]
+    tar = rng.normal(size=(s, m, 2)).astype(np.float32) * 60
+    for k in range(s):
+        tar[k] = tar[k][np.argsort(tar[k][:, 0], kind="stable")]
+    tv = rng.random((s, m)) < 0.8
+    tv[3] = False                                        # empty keyframe
+    sb = pa.tile_bounds(jnp.asarray(src), jnp.ones((msrc,), bool), ts)
+    tb = pa.tile_bounds(jnp.asarray(tar), jnp.asarray(tv), pa._TT_SPARSE)
+    a = pa.nn_min_sparse(jnp.asarray(src), sb, jnp.asarray(tar), tb,
+                         jnp.asarray(tv), radius, interpret=True, ts=ts)
+    b = pa.nn_min_sparse_multi(jnp.asarray(src), sb, jnp.asarray(tar), tb,
+                               jnp.asarray(tv), radius, interpret=True,
+                               ts=ts)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))

@@ -64,7 +64,8 @@ def main():
     interp = jax.default_backend() == "cpu"
     cfg = preset("CFEAR-3-s50", dataset="oxford")
     cfg = cfg.replace(feature=dataclasses.replace(
-        cfg.feature, max_cells=args.max_cells))
+        cfg.feature, max_cells=args.max_cells, point_budget=8192,
+        spatial_sort=True))
     print(f"backend={jax.default_backend()} cfg={cfg.name} "
           f"S={cfg.odometry.submap_scan_size} M={cfg.feature.max_cells}")
 
@@ -131,6 +132,45 @@ def main():
         t = timeit(f_sparse, (sl(src_b), sl(sb_b), sl(tar_xy), sl(tb_b),
                               sl(tvalid)), args.iters)
         print(f"B={b} nn_min_sparse          {t:8.3f} ms")
+
+        d_pad = 8 if d <= 8 else 16
+        at_b = jnp.swapaxes(attrs_b, -1, -2)
+        at_b = jnp.pad(at_b, ((0, 0), (0, 0), (0, d_pad - d), (0, 0)))
+
+        @jax.jit
+        def f_sparse_attrs(sx, sbb, tx, tbb, tv, at):
+            return jax.vmap(
+                lambda a1, a2, a3, a4, a5, a6: pallas_assoc.nn_min_sparse_attrs(
+                    a1, a2, a3, a4, a5, a6, radius, interpret=interp,
+                    ts=256))(sx, sbb, tx, tbb, tv, at)
+
+        t = timeit(f_sparse_attrs, (sl(src_b), sl(sb_b), sl(tar_xy),
+                                    sl(tb_b), sl(tvalid), sl(at_b)),
+                   args.iters)
+        print(f"B={b} nn_min_sparse_attrs    {t:8.3f} ms (fused lookup)")
+
+        @jax.jit
+        def f_sparse_multi(sx, sbb, tx, tbb, tv):
+            return jax.vmap(
+                lambda a1, a2, a3, a4, a5: pallas_assoc.nn_min_sparse_multi(
+                    a1, a2, a3, a4, a5, radius, interpret=interp,
+                    ts=256))(sx, sbb, tx, tbb, tv)
+
+        t = timeit(f_sparse_multi, (sl(src_b), sl(sb_b), sl(tar_xy),
+                                    sl(tb_b), sl(tvalid)), args.iters)
+        print(f"B={b} nn_min_sparse_multi    {t:8.3f} ms (in-kernel S loop)")
+
+        @jax.jit
+        def f_sparse_unr(sx, sbb, tx, tbb, tv):
+            return jax.vmap(
+                lambda a1, a2, a3, a4, a5:
+                pallas_assoc.nn_min_sparse_unrolled(
+                    a1, a2, a3, a4, a5, radius, interpret=interp,
+                    ts=256))(sx, sbb, tx, tbb, tv)
+
+        t = timeit(f_sparse_unr, (sl(src_b), sl(sb_b), sl(tar_xy),
+                                  sl(tb_b), sl(tvalid)), args.iters)
+        print(f"B={b} nn_min_sparse_unrolled {t:8.3f} ms (static S loop)")
 
         @jax.jit
         def f_dense(sx, tx, tv):
