@@ -420,7 +420,7 @@ def nn_min_sparse_multi(src_xy, src_bounds, tar_xy, tar_bounds, tar_valid,
 
 def _nn_sparse_unrolled_kernel(n_kf, n_tt, tt, sb_ref, tb_ref, r2_ref,
                                sx_ref, sy_ref, tx_ref, ty_ref, mask_ref,
-                               nn_ref, d2_ref):
+                               nn_ref, d2_ref, best_scr, barg_scr):
     """Block-sparse 1-NN, keyframes unrolled STATICALLY in-kernel.
 
     profile_s50 v2 (TPU v5e, 967-cell occupancy, 22.4% executed pairs):
@@ -444,16 +444,21 @@ def _nn_sparse_unrolled_kernel(n_kf, n_tt, tt, sb_ref, tb_ref, r2_ref,
     symax = sb_ref[j, 3]
     r2 = r2_ref[0]
 
+    # pl.when (scalar predicate, side effects on scratch) lowers to a real
+    # jump; a value-carried lax.cond is predicated — BOTH sides execute,
+    # destroying the skip (measured: the cond variant ran SLOWER than
+    # dense)
     for i in range(n_kf):
-        best = jnp.full((ts, 1), jnp.inf, jnp.float32)
-        barg = jnp.zeros((ts, 1), jnp.int32)
+        best_scr[...] = jnp.full(best_scr.shape, jnp.inf, jnp.float32)
+        barg_scr[...] = jnp.zeros(barg_scr.shape, jnp.int32)
         for jt in range(n_tt):
             gapx = jnp.maximum(jnp.maximum(tb_ref[i, jt, 0] - sxmax,
                                            sxmin - tb_ref[i, jt, 1]), 0.0)
             gapy = jnp.maximum(jnp.maximum(tb_ref[i, jt, 2] - symax,
                                            symin - tb_ref[i, jt, 3]), 0.0)
 
-            def hit(best=best, barg=barg, i=i, jt=jt):
+            @pl.when(gapx * gapx + gapy * gapy <= r2)
+            def _(i=i, jt=jt):
                 tx = tx_ref[i:i + 1, jt * tt:(jt + 1) * tt]    # (1, TT)
                 ty = ty_ref[i:i + 1, jt * tt:(jt + 1) * tt]
                 msk = mask_ref[i:i + 1, jt * tt:(jt + 1) * tt]
@@ -463,15 +468,11 @@ def _nn_sparse_unrolled_kernel(n_kf, n_tt, tt, sb_ref, tb_ref, r2_ref,
                 lmin = jnp.min(d2, axis=1, keepdims=True)
                 larg = (jnp.argmin(d2, axis=1, keepdims=True)
                         .astype(jnp.int32) + jt * tt)
-                better = lmin < best     # strict '<': lowest-index ties
-                return (jnp.where(better, lmin, best),
-                        jnp.where(better, larg, barg))
-
-            best, barg = jax.lax.cond(
-                gapx * gapx + gapy * gapy <= r2, hit,
-                lambda best=best, barg=barg: (best, barg))
-        nn_ref[i:i + 1, :] = barg.reshape(1, ts)
-        d2_ref[i:i + 1, :] = best.reshape(1, ts)
+                better = lmin < best_scr[...]   # strict '<': lowest-index
+                barg_scr[...] = jnp.where(better, larg, barg_scr[...])
+                best_scr[...] = jnp.where(better, lmin, best_scr[...])
+        nn_ref[i:i + 1, :] = barg_scr[...].reshape(1, ts)
+        d2_ref[i:i + 1, :] = best_scr[...].reshape(1, ts)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "ts"))
@@ -509,6 +510,8 @@ def nn_min_sparse_unrolled(src_xy, src_bounds, tar_xy, tar_bounds,
             pl.BlockSpec((s, ts), lambda j, *_: (0, j)),
             pl.BlockSpec((s, ts), lambda j, *_: (0, j)),
         ],
+        scratch_shapes=[pltpu.VMEM((ts, 1), jnp.float32),
+                        pltpu.VMEM((ts, 1), jnp.int32)],
     )
     nn, d2 = pl.pallas_call(
         functools.partial(_nn_sparse_unrolled_kernel, s, m // tt, tt),
