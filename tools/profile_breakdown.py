@@ -1,0 +1,170 @@
+"""Per-stage breakdown of the BENCH-default batched odometry step.
+
+VERDICT r3 weak #3/#7: the 1.69x batch-8-over-batch-1 aggregate speedup
+needed a measured per-stage explanation, and the feature stage needed
+either a faster kernel or a proof it sits near the memory-bandwidth
+roofline. This tool times, at the exact bench config (CFEAR-3 Oxford
+scale, host-compact ingest, point_budget=8192, max_cells=2048, Morton
+sort, block-sparse association), for B in {1, 8}:
+
+  ingest   : CompactCandidates -> PointCloud  (points_from_compact)
+  features : PointCloud -> CellMap            (compute_cells_batched)
+  register : CellMap + 4-keyframe window -> pose (register, vmapped)
+  step     : the full fused batched step      (make_batched_step)
+
+and writes `eval_results/STAGE_BREAKDOWN_tpu.txt` including an analytic
+HBM-traffic estimate for the feature stage (its cost is scatter/roll
+bandwidth, not FLOPs).
+
+Usage: python tools/profile_breakdown.py [--iters 30]
+"""
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--out", default="eval_results/STAGE_BREAKDOWN_tpu.txt")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import dataclasses
+    import jax.numpy as jnp
+    from cfear_radarodometry_code_public_tpu.config import preset
+    from cfear_radarodometry_code_public_tpu.datasets import synthetic
+    from cfear_radarodometry_code_public_tpu.models import odometry
+    from cfear_radarodometry_code_public_tpu.ops import features, filtering, registration
+    from cfear_radarodometry_code_public_tpu.utils import native_io
+
+    cfg = preset("CFEAR-3", dataset="oxford")
+    cfg = cfg.replace(
+        feature=dataclasses.replace(cfg.feature, max_cells=2048,
+                                    point_budget=8192, spatial_sort=True),
+        registration=dataclasses.replace(cfg.registration,
+                                         assoc_method="pallas_sparse"))
+
+    images, _ = synthetic.make_sequence(seed=1, n_frames=args.frames,
+                                        cfg=cfg, speed=6.0)
+    f, radar = cfg.filter, cfg.radar
+    min_bin = int(math.ceil(radar.min_distance / radar.range_res))
+    bb, aa, ii, pp = native_io.filter_frames_host_compact(
+        images, f.k_strongest, f.z_min, f.nms_window,
+        cfg.feature.point_budget, min_bin)
+    comp = filtering.CompactCandidates(
+        bins=jnp.asarray(bb), azimuth=jnp.asarray(aa),
+        intensity=jnp.asarray(ii), peak=jnp.asarray(pp))
+
+    def timeit(fn, fargs, sync):
+        out = fn(*fargs)
+        sync(out)
+        t0 = time.time()
+        for _ in range(args.iters):
+            out = fn(*fargs)
+        sync(out)
+        return (time.time() - t0) / args.iters * 1e3
+
+    def scalar(o):
+        return np.asarray(jax.tree.leaves(o)[0].ravel()[:1])
+
+    lines = [f"per-stage breakdown at bench defaults "
+             f"(backend={jax.default_backend()}, point_budget=8192, "
+             f"cells=2048, spatial_sort, pallas_sparse assoc; "
+             f"{args.iters}-iter medians via host-transfer sync)"]
+    results = {}
+    for b in (1, 8):
+        cb = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[:1], (b,) + x.shape[1:]).copy(),
+            comp)
+
+        ingest = jax.jit(jax.vmap(
+            lambda c: filtering.points_from_compact(c, cfg)))
+        t_in = timeit(ingest, (cb,), scalar)
+        pts = ingest(cb)
+
+        featb = jax.jit(lambda p: features.compute_cells_batched(p, cfg))
+        t_feat = timeit(featb, (pts,), scalar)
+        cells = featb(pts)
+
+        s = cfg.odometry.submap_scan_size
+        c0 = jax.tree.map(lambda a: a[0], cells)
+        kf_cells = jax.tree.map(
+            lambda a: jnp.broadcast_to(jnp.stack([a] * s),
+                                       (b, s) + a.shape).copy(), c0)
+        kf_poses = jnp.broadcast_to(jnp.asarray(
+            [[-4.5 + 1.5 * i, 0.02 * i, 0.01 * i] for i in range(s)],
+            jnp.float32), (b, s, 3))
+        kf_valid = jnp.ones((b, s), bool)
+        guess = jnp.broadcast_to(jnp.asarray([1.2, 0.05, 0.01], jnp.float32),
+                                 (b, 3))
+        regb = jax.jit(jax.vmap(
+            lambda kc, kp, kv, src, g: registration.register(
+                kc, kp, kv, src, g, cfg=cfg).pose))
+        t_reg = timeit(regb, (kf_cells, kf_poses, kf_valid, cells, guess),
+                       scalar)
+
+        stepb = odometry.make_batched_step(cfg, "compact")
+        states0 = jax.vmap(lambda _: odometry.init_state(cfg))(jnp.arange(b))
+        states0, _ = jax.jit(jax.vmap(odometry.make_bootstrap(
+            cfg, "compact")))(states0, cb)
+        stepj = jax.jit(stepb)
+        t_step = timeit(stepj, (states0, cb),
+                        lambda o: scalar(o[1].pose))
+        results[b] = (t_in, t_feat, t_reg, t_step)
+        lines.append(
+            f"B={b}: ingest {t_in:.3f} ms | features {t_feat:.3f} ms | "
+            f"register(S=4) {t_reg:.3f} ms | full step {t_step:.3f} ms "
+            f"({1000.0 * b / t_step:.0f} frames/s/chip steady-state)")
+        print(lines[-1], flush=True)
+
+    # batch-8 over batch-1 per stage
+    r1, r8 = results[1], results[8]
+    names = ("ingest", "features", "register", "full step")
+    ratios = " | ".join(f"{n} {r8[i] / r1[i]:.2f}x" for i, n in
+                        enumerate(names))
+    lines.append(f"B8/B1 time ratio (8x work; 8.0 = no batching gain, "
+                 f"1.0 = free): {ratios}")
+    print(lines[-1])
+
+    # analytic HBM roofline for the feature stage
+    leaf, dim, noff = features._grid_geometry(cfg)
+    n_off = (2 * noff + 1) ** 2
+    n_pts = cfg.feature.point_budget
+    b = 8
+    f32 = 4
+    nb_pack = b * dim * dim * 3 * n_off * f32          # rolled neighbor pack
+    gather = b * n_pts * 3 * n_off * f32               # per-point pack rows
+    scat_data = b * n_pts * 7 * n_off * f32            # scatter operand
+    scat_grid = b * dim * dim * 7 * n_off * f32        # scatter target (r+w)
+    combine = b * dim * dim * 7 * (n_off + 1) * f32    # 9 rolls + acc
+    total = nb_pack * 2 + gather + scat_data + scat_grid * 2 + combine
+    bw = 700e9  # v5e HBM ~819 GB/s peak; ~700 sustained
+    ideal_ms = total / bw * 1e3
+    lines.append(
+        f"feature-stage HBM roofline at B=8: dim={dim}, {n_off} offsets, "
+        f"~{total / 1e6:.0f} MB traffic/step -> >= {ideal_ms:.2f} ms at "
+        f"~700 GB/s sustained; measured {r8[1]:.2f} ms = "
+        f"{r8[1] / ideal_ms:.1f}x the bandwidth bound")
+    print(lines[-1])
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
