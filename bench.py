@@ -68,12 +68,16 @@ def main():
     ap.add_argument("--efficiency", action="store_true",
                     help="also report batch-1 vs batch-N per-chip scaling "
                          "efficiency in the JSON")
-    ap.add_argument("--max-cells", type=int, default=2048,
+    ap.add_argument("--max-cells", type=int, default=1024,
                     help="override feature.max_cells (0 = preset value). "
                          "Association cost is quadratic in the budget; "
-                         "2048 measured 744 vs 540 fps/chip batched with "
-                         "IDENTICAL drift (mean occupancy ~920 cells; "
-                         "overflow keeps the most-supported cells)")
+                         "mean occupancy is ~920 cells and overflow keeps "
+                         "the most-supported cells, so r4 measured 1024 at "
+                         "IDENTICAL drift with 1291.5 vs 1026.5 fps/chip "
+                         "batched x8 (CFEAR-3), s50 exact 222.8 vs 132.8, "
+                         "s50 K16 532.7 vs 326.9 — and batch-monotone "
+                         "everywhere (the old b8<b4 s50 regression was "
+                         "quadratic work on the 2048 padding)")
     ap.add_argument("--max-active-keyframes", type=int, default=0,
                     help="register against only the K nearest keyframes "
                          "(0 = all). The s50 lever: association/LM cost is "

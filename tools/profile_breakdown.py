@@ -4,7 +4,7 @@ VERDICT r3 weak #3/#7: the 1.69x batch-8-over-batch-1 aggregate speedup
 needed a measured per-stage explanation, and the feature stage needed
 either a faster kernel or a proof it sits near the memory-bandwidth
 roofline. This tool times, at the exact bench config (CFEAR-3 Oxford
-scale, host-compact ingest, point_budget=8192, max_cells=2048, Morton
+scale, host-compact ingest, point_budget=8192, max_cells=1024, Morton
 sort, block-sparse association), for B in {1, 8}:
 
   ingest   : CompactCandidates -> PointCloud  (points_from_compact)
@@ -52,7 +52,7 @@ def main():
 
     cfg = preset("CFEAR-3", dataset="oxford")
     cfg = cfg.replace(
-        feature=dataclasses.replace(cfg.feature, max_cells=2048,
+        feature=dataclasses.replace(cfg.feature, max_cells=1024,
                                     point_budget=8192, spatial_sort=True),
         registration=dataclasses.replace(cfg.registration,
                                          assoc_method="pallas_sparse"))
@@ -82,7 +82,7 @@ def main():
 
     lines = [f"per-stage breakdown at bench defaults "
              f"(backend={jax.default_backend()}, point_budget=8192, "
-             f"cells=2048, spatial_sort, pallas_sparse assoc; "
+             f"cells=1024, spatial_sort, pallas_sparse assoc; "
              f"{args.iters}-iter medians via host-transfer sync)"]
     results = {}
     for b in (1, 8):

@@ -3,8 +3,8 @@
 VERDICT r3 demand #4: the only 1000+-frame artifact was a round-2-era run
 (9 fps, image ingest) and no committed number used the full KITTI
 100-800 m protocol. This driver runs >=1024-frame sequences at the
-round-3 bench defaults (host-compact ingest, point_budget=8192,
-max_cells=2048, Morton spatial sort, block-sparse association):
+round-4 bench defaults (host-compact ingest, point_budget=8192,
+max_cells=1024, Morton spatial sort, block-sparse association):
 
   easy        : default world, 12 m/s, ~3 km path
   adversarial : 40 moving objects, azimuth dropout p=0.5, interference
@@ -53,10 +53,10 @@ def main(argv=None):
 
     cfg = preset("CFEAR-3", dataset="oxford")
     cfg = cfg.replace(feature=dataclasses.replace(
-        cfg.feature, max_cells=2048, point_budget=8192, spatial_sort=True))
-    lines = [f"long-run drift at round-3+ defaults "
+        cfg.feature, max_cells=1024, point_budget=8192, spatial_sort=True))
+    lines = [f"long-run drift at round-4 defaults "
              f"(backend={jax.default_backend()}, ingest=host-compact, "
-             f"point_budget=8192, max_cells=2048, spatial_sort, "
+             f"point_budget=8192, max_cells=1024, spatial_sort, "
              f"assoc auto/block-sparse)"]
 
     worlds = [
