@@ -414,6 +414,19 @@ class OdometryRunner:
             self.outputs.append(jax.tree.map(lambda a: a[None], out))
 
     def _materialize(self) -> None:
+        # concatenate per-chunk outputs ON DEVICE first, then fetch each
+        # leaf ONCE: fetching the ~10 leaves of every chunk separately pays
+        # the remote tunnel's ~30 ms RTT per transfer (measured: a
+        # 1024-frame run spent ~10 s fetching 32 chunks x 10 leaves; the
+        # stacked fetch is ~0.3 s)
+        if len(self.outputs) > 1:
+            on_dev = [o for o in self.outputs
+                      if not isinstance(jax.tree.leaves(o)[0], np.ndarray)]
+            if on_dev:
+                stacked = jax.tree.map(lambda *xs: jnp.concatenate(
+                    [jnp.atleast_1d(x) for x in xs]), *self.outputs)
+                self.outputs = [jax.tree.map(np.asarray, stacked)]
+                return
         self.outputs = [jax.tree.map(np.asarray, o) for o in self.outputs]
 
     def trajectory(self) -> np.ndarray:
@@ -425,6 +438,15 @@ class OdometryRunner:
     def frame_outputs(self) -> FrameOutput:
         self._materialize()
         return jax.tree.map(lambda *xs: np.concatenate(xs), *self.outputs)
+
+    def reset(self, dtype=jnp.float32) -> None:
+        """Reinitialize the scan-carry state and drop accumulated outputs,
+        KEEPING the jitted executables. Use for timed re-passes: a fresh
+        OdometryRunner builds new jit wrappers whose executables the remote
+        backend re-ramps (measured: first pass 2 fps, same-runner repeat
+        ~280 fps single-sequence at Oxford scale)."""
+        self.state = init_state(self.cfg, dtype)
+        self.outputs = []
 
     # -- checkpoint / resume (SURVEY.md §5: the reference only saves its
     # graph at exit; here the full scan-carry state is restorable) ---------

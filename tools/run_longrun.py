@@ -40,6 +40,10 @@ def main(argv=None):
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--extent", type=float, default=1000.0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--max-cells", type=int, default=2048,
+                    help="cell budget: the extent-1000 worlds are ~40x "
+                         "denser than the short bench world, so occupancy "
+                         "exceeds the bench-default 1024 budget")
     ap.add_argument("--out", default="eval_results/LONGRUN_1024_tpu.txt")
     args = ap.parse_args(argv)
 
@@ -53,11 +57,12 @@ def main(argv=None):
 
     cfg = preset("CFEAR-3", dataset="oxford")
     cfg = cfg.replace(feature=dataclasses.replace(
-        cfg.feature, max_cells=1024, point_budget=8192, spatial_sort=True))
+        cfg.feature, max_cells=args.max_cells, point_budget=8192,
+        spatial_sort=True))
     lines = [f"long-run drift at round-4 defaults "
              f"(backend={jax.default_backend()}, ingest=host-compact, "
-             f"point_budget=8192, max_cells=1024, spatial_sort, "
-             f"assoc auto/block-sparse)"]
+             f"point_budget=8192, max_cells={args.max_cells}, "
+             f"spatial_sort, assoc auto/block-sparse)"]
 
     worlds = [
         ("easy", dict()),
@@ -76,13 +81,21 @@ def main(argv=None):
 
         runner = odometry.OdometryRunner(cfg, chunk=args.chunk,
                                          ingest="host")
+        # untimed warm pass: compile + remote-backend program/buffer ramp
+        # (first pass measures ~2 fps, same-runner repeats ~280 fps —
+        # OdometryRunner.reset keeps the jitted executables)
+        runner.process(images)
+        _ = np.asarray(runner.outputs[-1].pose)
+        runner.reset()
         t0 = time.time()
         runner.process(images)
         traj = np.asarray(runner.trajectory())
         wall = time.time() - t0
         fps = args.frames / wall
         drift = kitti_drift(traj, gt)       # FULL 100-800 m protocol
-        fails = int((~np.asarray(runner.frame_outputs().success)).sum())
+        out_f = runner.frame_outputs()
+        fails = int((~np.asarray(out_f.success)).sum())
+        mean_cells = float(np.asarray(out_f.num_cells).mean())
         per_len = " ".join(
             f"{k}m:{v['t_err_percent']:.3f}%"
             for k, v in sorted(drift.get("per_length", {}).items()))
@@ -92,7 +105,7 @@ def main(argv=None):
             f"t_err {drift['t_err_percent']:.3f}% r_err "
             f"{drift['r_err_deg_per_m']:.5f} deg/m "
             f"({drift['n_subsequences']} subseqs: {per_len}); "
-            f"failures {fails}")
+            f"failures {fails}; mean cells {mean_cells:.0f}")
         print(lines[-1], flush=True)
 
         if name == "easy":
