@@ -65,14 +65,17 @@ def main(argv=None):
              f"spatial_sort, assoc auto/block-sparse)"]
 
     worlds = [
-        ("easy", dict()),
-        ("adversarial", dict(n_dynamic=40, dropout_prob=0.5,
-                             speckle_burst_prob=0.4)),
+        ("easy", args.speed, dict()),
+        ("adversarial", args.speed, dict(n_dynamic=40, dropout_prob=0.5,
+                                         speckle_burst_prob=0.4)),
+        # continuity row with the r2-era artifact (which ran 8 m/s)
+        ("adversarial_8ms", 8.0, dict(n_dynamic=40, dropout_prob=0.5,
+                                      speckle_burst_prob=0.4)),
     ]
-    for name, adv in worlds:
+    for name, speed, adv in worlds:
         t0 = time.time()
         images, gt = synthetic.make_sequence(
-            seed=11, n_frames=args.frames, cfg=cfg, speed=args.speed,
+            seed=11, n_frames=args.frames, cfg=cfg, speed=speed,
             extent=args.extent, **adv)
         render_s = time.time() - t0
         gt = np.asarray(gt)
@@ -86,11 +89,14 @@ def main(argv=None):
         # OdometryRunner.reset keeps the jitted executables)
         runner.process(images)
         _ = np.asarray(runner.outputs[-1].pose)
-        runner.reset()
-        t0 = time.time()
-        runner.process(images)
-        traj = np.asarray(runner.trajectory())
-        wall = time.time() - t0
+        walls = []
+        for _pass in range(3):
+            runner.reset()
+            t0 = time.time()
+            runner.process(images)
+            traj = np.asarray(runner.trajectory())
+            walls.append(time.time() - t0)
+        wall = float(np.median(walls))
         fps = args.frames / wall
         drift = kitti_drift(traj, gt)       # FULL 100-800 m protocol
         out_f = runner.frame_outputs()
@@ -100,8 +106,10 @@ def main(argv=None):
             f"{k}m:{v['t_err_percent']:.3f}%"
             for k, v in sorted(drift.get("per_length", {}).items()))
         lines.append(
-            f"{name}: {args.frames} frames, path {path:.0f} m, render "
-            f"{render_s:.0f}s, {wall:.1f}s -> {fps:.1f} fps; KITTI "
+            f"{name} ({speed:.0f} m/s): {args.frames} frames, path "
+            f"{path:.0f} m, render "
+            f"{render_s:.0f}s, median {wall:.1f}s of {[round(w, 1) for w in walls]} "
+            f"-> {fps:.1f} fps; KITTI "
             f"t_err {drift['t_err_percent']:.3f}% r_err "
             f"{drift['r_err_deg_per_m']:.5f} deg/m "
             f"({drift['n_subsequences']} subseqs: {per_len}); "
