@@ -54,7 +54,7 @@ def test_beyond_envelope_regimes_documented(rows):
     be bad; they pin WHERE the cliff lives so envelope drift numbers
     can't be mistaken for universal claims."""
     levels = {r["level"] for r in rows if r["knob"] == "beyond_envelope"}
-    assert levels >= {"noise_24", "sat_8m", "scat_60"}
+    assert levels >= {"noise_20", "noise_24", "sat_8m", "scat_60"}
 
 
 def test_no_cliff_inside_envelope(rows):
@@ -63,7 +63,7 @@ def test_no_cliff_inside_envelope(rows):
     an order of magnitude BELOW the divergence regime (the measured
     beyond-envelope cliffs run 12-99% — see the beyond_envelope rows),
     while the hard envelope edges (feature-poor worlds, 40 moving
-    objects, 1.67x noise floor) legitimately reach 1-2%."""
+    objects, 1.33x noise floor) legitimately reach 1-2%."""
     base = _mean_drift(rows, "baseline")
     for knob in KNOBS:
         levels = {r["level"] for r in rows if r["knob"] == knob}
