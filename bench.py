@@ -177,10 +177,12 @@ def main():
         if kind == "compact":
             b, a, i, p = native_io.filter_frames_host_compact(
                 imgs, f.k_strongest, f.z_min, f.nms_window,
-                cfg.feature.point_budget, min_bin)
+                cfg.feature.point_budget, min_bin,
+                z_quantile=f.z_min_quantile)
             return CompactCandidates(bins=b, azimuth=a, intensity=i, peak=p)
         b, i, p = native_io.filter_frames_host(imgs, f.k_strongest, f.z_min,
-                                               f.nms_window)
+                                               f.nms_window,
+                                               z_quantile=f.z_min_quantile)
         return Candidates(bins=b, intensity=i, peak=p)
 
     if kind != "image":

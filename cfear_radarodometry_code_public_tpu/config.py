@@ -44,6 +44,16 @@ class FilterConfig:
     method: str = "kstrong"          # "kstrong" | "cacfar"
     k_strongest: int = 12
     z_min: int = 60
+    # adaptive noise-floor threshold (0 = off, the reference's fixed-z_min
+    # behavior): per frame, the effective threshold becomes
+    # max(z_min, q_thr + 1) with q_thr the smallest uint8 value whose CDF
+    # reaches ceil(q * A * R) pixels — an exact integer rule the native
+    # host filter reproduces bit-for-bit. Extends the speckle envelope:
+    # the fixed z_min=60 detector drowns at >= 1.67x the nominal noise
+    # floor (eval_results/sim_sensitivity.csv beyond_envelope rows), while
+    # q=0.98 rides the floor (and leaves nominal worlds untouched: the
+    # 0.98-quantile of an exp(12) floor is ~47 < 60)
+    z_min_quantile: float = 0.0
     nms_window: int = 3              # axial NMS half-window (`radar_filters.cpp:240`)
     # CA-CFAR (reference `cfar.h:28-42`). The reference dispatches CFAR
     # *instead of* k-strongest and passes z_min as the static threshold and a

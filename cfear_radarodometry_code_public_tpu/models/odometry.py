@@ -358,12 +358,14 @@ class OdometryRunner:
             min_bin = int(math.ceil(radar.min_distance / radar.range_res))
             b, a, i, p = native_io.filter_frames_host_compact(
                 images, f.k_strongest, f.z_min, f.nms_window,
-                self.cfg.feature.point_budget, min_bin)
+                self.cfg.feature.point_budget, min_bin,
+                z_quantile=f.z_min_quantile)
             return CompactCandidates(bins=b, azimuth=a, intensity=i, peak=p)
         else:
             b, i, p = native_io.filter_frames_host(
                 images, self.cfg.filter.k_strongest, self.cfg.filter.z_min,
-                self.cfg.filter.nms_window)
+                self.cfg.filter.nms_window,
+                z_quantile=self.cfg.filter.z_min_quantile)
         return Candidates(bins=b, intensity=i, peak=p)
 
     def process(self, images: np.ndarray) -> None:

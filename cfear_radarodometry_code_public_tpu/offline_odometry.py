@@ -37,6 +37,7 @@ def build_config(args):
         cfg.filter,
         **{k: v for k, v in dict(
             k_strongest=args.k_strongest, z_min=args.z_min,
+            z_min_quantile=args.z_min_quantile,
             method=args.filter_type, cfar_window=args.cfar_window,
             cfar_guard=args.cfar_guard,
             false_alarm_rate=args.false_alarm_rate,
@@ -235,6 +236,12 @@ def main(argv=None):
     ap.add_argument("--res", type=float, default=None)
     ap.add_argument("--k_strongest", type=int, default=None)
     ap.add_argument("--z_min", type=int, default=None)
+    ap.add_argument("--z_min_quantile", type=float, default=None,
+                    help="adaptive noise-floor threshold: effective z_min "
+                         "= max(z_min, per-frame intensity quantile + 1); "
+                         "0/off = the reference's fixed z_min. Extends the "
+                         "speckle envelope (the fixed detector drowns at "
+                         ">= 1.67x the nominal noise floor)")
     ap.add_argument("--filter_type", default=None,
                     choices=[None, "kstrong", "cacfar"])
     # CA-CFAR surface as proper flags (the reference reuses --k_strongest /

@@ -80,6 +80,26 @@ def kstrongest_mask(image: jax.Array, k: int, z_min: int):
     return bins, valid
 
 
+def frame_noise_threshold(image: jax.Array, q: float, z_min: int):
+    """Adaptive per-frame noise-floor threshold (exact integer rule).
+
+    Returns max(z_min, q_thr + 1) with q_thr the smallest uint8 value
+    whose CDF reaches ceil(q * A * R) pixels. The native host filter
+    (`native/cfear_io.cpp:cfear_frame_thresholds`) reproduces this
+    bit-for-bit, so host and device ingest stay identical. With q ~ 0.98
+    the threshold rides the sensor's actual noise floor — extending the
+    robustness envelope the fixed z_min=60 detector loses at >= 1.67x
+    nominal speckle — while nominal worlds are untouched (their
+    0.98-quantile sits below z_min)."""
+    import math as _math
+    hist = jnp.zeros((256,), jnp.int32).at[
+        image.astype(jnp.int32).ravel()].add(1)
+    cdf = jnp.cumsum(hist)
+    q_count = int(_math.ceil(q * image.shape[0] * image.shape[1]))
+    q_thr = jnp.argmax(cdf >= q_count).astype(jnp.int32)
+    return jnp.maximum(jnp.int32(z_min), q_thr + 1)
+
+
 def nms_peak_image(image: jax.Array, w: int) -> jax.Array:
     """Dense bool (A, R): bin is a local max of the 7-bin smoothed intensity."""
     a, r = image.shape
@@ -292,7 +312,10 @@ def filter_polar_image(image: jax.Array, cfg: CFEARConfig) -> PointCloud:
         return polar_to_points(bins, valid, intens,
                                jnp.zeros_like(valid), cfg,
                                convention="cacfar")
-    bins, valid = kstrongest_mask(image, f.k_strongest, f.z_min)
+    z = f.z_min
+    if f.z_min_quantile:
+        z = frame_noise_threshold(image, f.z_min_quantile, f.z_min)
+    bins, valid = kstrongest_mask(image, f.k_strongest, z)
     peak_img = nms_peak_image(image, f.nms_window)
     peaks = jnp.take_along_axis(peak_img, bins, axis=1) & valid
     intens = jnp.take_along_axis(image, bins, axis=1)

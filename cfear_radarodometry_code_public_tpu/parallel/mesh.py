@@ -126,14 +126,16 @@ class MultiSequenceRunner:
             min_bin = int(math.ceil(radar.min_distance / radar.range_res))
             bi, az, it, pk = native_io.filter_frames_host_compact(
                 flat, f.k_strongest, f.z_min, f.nms_window,
-                self.cfg.feature.point_budget, min_bin)
+                self.cfg.feature.point_budget, min_bin,
+                z_quantile=f.z_min_quantile)
             shp = (b, t) + bi.shape[1:]
             return CompactCandidates(
                 bins=bi.reshape(shp), azimuth=az.reshape(shp),
                 intensity=it.reshape(shp), peak=pk.reshape(shp))
         else:
             bi, it, pk = native_io.filter_frames_host(
-                flat, f.k_strongest, f.z_min, f.nms_window)
+                flat, f.k_strongest, f.z_min, f.nms_window,
+                z_quantile=f.z_min_quantile)
         shp = (b, t) + bi.shape[1:]
         return Candidates(bins=bi.reshape(shp), intensity=it.reshape(shp),
                           peak=pk.reshape(shp))

@@ -75,6 +75,17 @@ def _load_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int]
+            lib.cfear_frame_thresholds.restype = None
+            lib.cfear_frame_thresholds.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int]
+            lib.cfear_filter_frames_z.restype = None
+            lib.cfear_filter_frames_z.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int]
             lib.cfear_cfar_filter_frames.restype = None
             lib.cfear_cfar_filter_frames.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -182,8 +193,34 @@ class RadarPack:
             self._h = None
 
 
+def frame_thresholds_host(images: np.ndarray, q: float, z_min: int,
+                          n_threads: int = 8) -> np.ndarray:
+    """Per-frame adaptive noise thresholds (host twin of
+    `ops/filtering.py:frame_noise_threshold`, exact integer rule):
+    out[f] = max(z_min, q_thr + 1), q_thr the smallest uint8 value whose
+    frame CDF reaches ceil(q * A * R) pixels."""
+    images = np.ascontiguousarray(images, np.uint8)
+    if images.ndim == 2:
+        images = images[None]
+    t, a, r = images.shape
+    q_count = int(np.ceil(q * a * r))
+    out = np.empty((t,), np.int32)
+    lib = _load_lib()
+    if lib is not None and hasattr(lib, "cfear_frame_thresholds"):
+        lib.cfear_frame_thresholds(
+            images.ctypes.data_as(ctypes.c_void_p), t, a, r, q_count, z_min,
+            out.ctypes.data_as(ctypes.c_void_p), n_threads)
+    else:
+        for f in range(t):
+            hist = np.bincount(images[f].ravel(), minlength=256)
+            q_thr = int(np.argmax(np.cumsum(hist) >= q_count))
+            out[f] = max(z_min, q_thr + 1)
+    return out
+
+
 def filter_frames_host(images: np.ndarray, k: int, z_min: int,
-                       nms_window: int = 3, n_threads: int = 8
+                       nms_window: int = 3, n_threads: int = 8,
+                       z_quantile: float = 0.0
                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Host-side k-strongest + axial-NMS filter over (T, A, R) uint8 sweeps.
 
@@ -204,12 +241,28 @@ def filter_frames_host(images: np.ndarray, k: int, z_min: int,
     bins = np.empty((t, a, k), np.int16)
     intens = np.empty((t, a, k), np.uint8)
     peaks = np.empty((t, a, k), np.uint8)
-    if lib is not None:
+    z_frames = None
+    if z_quantile:
+        z_frames = frame_thresholds_host(images, z_quantile, z_min,
+                                         n_threads)
+    if lib is not None and z_frames is not None             and hasattr(lib, "cfear_filter_frames_z"):
+        lib.cfear_filter_frames_z(
+            images.ctypes.data_as(ctypes.c_void_p), t, a, r, k,
+            z_frames.ctypes.data_as(ctypes.c_void_p),
+            nms_window, bins.ctypes.data_as(ctypes.c_void_p),
+            intens.ctypes.data_as(ctypes.c_void_p),
+            peaks.ctypes.data_as(ctypes.c_void_p), n_threads)
+    elif lib is not None and z_frames is None:
         lib.cfear_filter_frames(
             images.ctypes.data_as(ctypes.c_void_p), t, a, r, k, z_min,
             nms_window, bins.ctypes.data_as(ctypes.c_void_p),
             intens.ctypes.data_as(ctypes.c_void_p),
             peaks.ctypes.data_as(ctypes.c_void_p), n_threads)
+    elif z_frames is not None:
+        for f in range(t):
+            _filter_frames_numpy(images[f:f + 1], k, int(z_frames[f]),
+                                 nms_window, bins[f:f + 1], intens[f:f + 1],
+                                 peaks[f:f + 1])
     else:
         _filter_frames_numpy(images, k, z_min, nms_window, bins, intens,
                              peaks)
@@ -314,7 +367,7 @@ def _budget_compact_numpy(bins, intens, peaks, budget, min_bin,
 
 def filter_frames_host_compact(images: np.ndarray, k: int, z_min: int,
                                nms_window: int, budget: int, min_bin: int,
-                               n_threads: int = 8
+                               n_threads: int = 8, z_quantile: float = 0.0
                                ) -> Tuple[np.ndarray, np.ndarray,
                                           np.ndarray, np.ndarray]:
     """k-strongest filter + point-budget compaction in one host pass.
@@ -325,7 +378,8 @@ def filter_frames_host_compact(images: np.ndarray, k: int, z_min: int,
     TPU v5e) and carries ~25% fewer bytes over the link than the (A, K)
     candidate form."""
     bins, intens, peaks = filter_frames_host(images, k, z_min, nms_window,
-                                             n_threads)
+                                             n_threads,
+                                             z_quantile=z_quantile)
     return budget_compact_host(bins, intens, peaks, budget, min_bin,
                                n_threads)
 

@@ -265,7 +265,8 @@ namespace {
 
 void filter_rows(const uint8_t* images, int64_t n_rows, int64_t r, int k,
                  int z_min, int w, int16_t* out_bins, uint8_t* out_intens,
-                 uint8_t* out_peaks, int64_t row_begin, int64_t row_end) {
+                 uint8_t* out_peaks, int64_t row_begin, int64_t row_end,
+                 const int32_t* z_frames = nullptr, int64_t rows_per_frame = 0) {
   // O(R) per row: incremental sliding-window NMS score fused with candidate
   // (I >= z_min) collection; histogram-threshold top-k over the CANDIDATES
   // only (usually far fewer than R bins clear the noise floor); local-max
@@ -278,8 +279,11 @@ void filter_rows(const uint8_t* images, int64_t n_rows, int64_t r, int k,
   std::vector<int16_t> tie_bins(k > 0 ? k : 1);
   int shift = 1;
   while (shift < r) shift <<= 1;
-  const int zc = z_min < 0 ? 0 : (z_min > 256 ? 256 : z_min);
   for (int64_t row = row_begin; row < row_end; ++row) {
+    // adaptive mode: per-frame effective threshold (already max'd with
+    // z_min by cfear_frame_thresholds)
+    const int z_row = z_frames ? z_frames[row / rows_per_frame] : z_min;
+    const int zc = z_row < 0 ? 0 : (z_row > 256 ? 256 : z_row);
     const uint8_t* img = images + row * r;
     // NMS score (sum of raw intensities over [b-w, b+w], zero-padded) and
     // candidate bins in one pass
@@ -540,6 +544,64 @@ void cfear_cfar_filter_frames(const uint8_t* images, int64_t t, int64_t a,
   for (auto& th : threads) th.join();
 }
 
+// Adaptive per-frame noise thresholds (bit-identical twin of
+// `ops/filtering.py:frame_noise_threshold`): out_z[f] = max(z_min,
+// q_thr + 1) with q_thr the smallest uint8 value whose frame CDF reaches
+// q_count pixels (q_count = ceil(q * a * r), computed by the caller so
+// host and device share one integer rule).
+void cfear_frame_thresholds(const uint8_t* images, int64_t t, int64_t a,
+                            int64_t r, int64_t q_count, int z_min,
+                            int32_t* out_z, int n_threads) {
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t f = lo; f < hi; ++f) {
+      const uint8_t* img = images + f * a * r;
+      int64_t hist[256] = {0};
+      for (int64_t i = 0; i < a * r; ++i) hist[img[i]]++;
+      int64_t cdf = 0;
+      int q_thr = 255;
+      for (int v = 0; v < 256; ++v) {
+        cdf += hist[v];
+        if (cdf >= q_count) { q_thr = v; break; }
+      }
+      int z = q_thr + 1;
+      out_z[f] = z > z_min ? z : z_min;
+    }
+  };
+  if (n_threads <= 1 || t < 4) { work(0, t); return; }
+  std::vector<std::thread> threads;
+  int64_t per = (t + n_threads - 1) / n_threads;
+  for (int i = 0; i < n_threads; ++i) {
+    int64_t lo = i * per, hi = lo + per > t ? t : lo + per;
+    if (lo >= hi) break;
+    threads.emplace_back(work, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+}
+
+// cfear_filter_frames with a per-frame threshold array (adaptive mode).
+void cfear_filter_frames_z(const uint8_t* images, int64_t t, int64_t a,
+                           int64_t r, int k, const int32_t* z_frames, int w,
+                           int16_t* out_bins, uint8_t* out_intens,
+                           uint8_t* out_peaks, int n_threads) {
+  const int64_t n_rows = t * a;
+  if (n_threads <= 1 || n_rows < 64) {
+    filter_rows(images, n_rows, r, k, 0, w, out_bins, out_intens,
+                out_peaks, 0, n_rows, z_frames, a);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t per = (n_rows + n_threads - 1) / n_threads;
+  for (int i = 0; i < n_threads; ++i) {
+    int64_t lo = i * per;
+    int64_t hi = lo + per > n_rows ? n_rows : lo + per;
+    if (lo >= hi) break;
+    threads.emplace_back(filter_rows, images, n_rows, r, k, 0, w,
+                         out_bins, out_intens, out_peaks, lo, hi,
+                         z_frames, a);
+  }
+  for (auto& th : threads) th.join();
+}
+
 // images: (T, A, R) uint8. Outputs: (T, A, K) int16 / uint8 / uint8.
 void cfear_filter_frames(const uint8_t* images, int64_t t, int64_t a,
                          int64_t r, int k, int z_min, int w,
@@ -548,7 +610,7 @@ void cfear_filter_frames(const uint8_t* images, int64_t t, int64_t a,
   const int64_t n_rows = t * a;
   if (n_threads <= 1 || n_rows < 64) {
     filter_rows(images, n_rows, r, k, z_min, w, out_bins, out_intens,
-                out_peaks, 0, n_rows);
+                out_peaks, 0, n_rows, nullptr, 0);
     return;
   }
   std::vector<std::thread> threads;
@@ -558,7 +620,8 @@ void cfear_filter_frames(const uint8_t* images, int64_t t, int64_t a,
     int64_t hi = lo + per > n_rows ? n_rows : lo + per;
     if (lo >= hi) break;
     threads.emplace_back(filter_rows, images, n_rows, r, k, z_min, w,
-                         out_bins, out_intens, out_peaks, lo, hi);
+                         out_bins, out_intens, out_peaks, lo, hi,
+                         nullptr, static_cast<int64_t>(0));
   }
   for (auto& th : threads) th.join();
 }

@@ -89,3 +89,17 @@ def test_failure_counting_stays_sane(rows):
     n_frames = 128
     for r in rows:
         assert int(r["registration_failures"]) < n_frames // 4, r
+
+
+def test_noise_cliff_mitigated_by_adaptive_threshold(rows):
+    """The adaptive noise-floor threshold (`filter.z_min_quantile=0.98`)
+    must rescue the worlds that collapse with the fixed z_min=60 detector
+    (the 12-94% beyond_envelope noise rows) up to ~2x the nominal floor;
+    at 3x (SNR ~ 1, noise_36_q98) the failure is physical — that row is
+    REQUIRED to stay recorded under beyond_envelope with the flag on."""
+    levels = {r["level"] for r in rows if r["knob"] == "mitigated"}
+    assert levels >= {"noise_20_q98", "noise_24_q98"}
+    assert _mean_drift(rows, "mitigated", "noise_20_q98") < 2.5
+    assert _mean_drift(rows, "mitigated", "noise_24_q98") < 6.0
+    beyond = {r["level"] for r in rows if r["knob"] == "beyond_envelope"}
+    assert "noise_36_q98" in beyond

@@ -63,6 +63,22 @@ BEYOND = [
     ("scat_60", dict(n_scatterers=60)),
 ]
 
+#: the adaptive-threshold mitigation (`filter.z_min_quantile=0.98`,
+#: tests/test_adaptive_zmin.py) applied to the noise-floor cliffs: the
+#: SAME worlds that collapse with the fixed z_min=60 detector track at
+#: ordinary drift when the threshold rides the measured floor — up to
+#: ~2x the nominal floor. At 3x (noise_36, SNR ~ 1) even the adaptive
+#: detector fails (the threshold rides above much of the genuine signal);
+#: that row stays under beyond_envelope WITH the flag on, pinning the
+#: physical edge rather than the detector's.
+MITIGATED = [
+    ("noise_20_q98", dict(noise_scale=20.0)),
+    ("noise_24_q98", dict(noise_scale=24.0)),
+]
+BEYOND_MITIGATED = [
+    ("noise_36_q98", dict(noise_scale=36.0)),
+]
+
 
 def main(argv=None):
     import jax
@@ -92,11 +108,13 @@ def main(argv=None):
     cfg = cfg.replace(
         feature=dataclasses.replace(cfg.feature, max_cells=args.max_cells))
 
-    def run(seed, overrides):
+    def run(seed, overrides, cfg_filter=None):
+        c = cfg if not cfg_filter else cfg.replace(
+            filter=dataclasses.replace(cfg.filter, **cfg_filter))
         images, gt = synthetic.make_sequence(
-            seed=seed, n_frames=args.n_frames, cfg=cfg, speed=args.speed,
+            seed=seed, n_frames=args.n_frames, cfg=c, speed=args.speed,
             **overrides)
-        runner = odometry.OdometryRunner(cfg, chunk=16)
+        runner = odometry.OdometryRunner(c, chunk=16)
         runner.process(images)
         traj = np.asarray(runner.trajectory())
         gt = np.asarray(gt)
@@ -129,6 +147,19 @@ def main(argv=None):
         for label, ov in BEYOND:
             t0 = time.time()
             r = run(seed, ov)
+            rows.append(dict(knob="beyond_envelope", level=label, seed=seed,
+                             **r))
+            print(f"seed {seed} beyond_envelope/{label}: {r} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+        for label, ov in MITIGATED:
+            t0 = time.time()
+            r = run(seed, ov, cfg_filter=dict(z_min_quantile=0.98))
+            rows.append(dict(knob="mitigated", level=label, seed=seed, **r))
+            print(f"seed {seed} mitigated/{label}: {r} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+        for label, ov in BEYOND_MITIGATED:
+            t0 = time.time()
+            r = run(seed, ov, cfg_filter=dict(z_min_quantile=0.98))
             rows.append(dict(knob="beyond_envelope", level=label, seed=seed,
                              **r))
             print(f"seed {seed} beyond_envelope/{label}: {r} "
