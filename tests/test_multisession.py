@@ -148,3 +148,29 @@ def test_merge_rejects_disjoint_sessions():
         graphs.append(gb)
     with pytest.raises(ValueError, match="do not overlap"):
         multisession.merge_sessions(graphs[0], graphs[1], cfg)
+
+
+def test_merge_sessions_cli(sessions, tmp_path):
+    """The merge CLI consumes two saved simple_graph.npz artifacts (the
+    reference's .sgh hand-off form) and writes a merged, optimized graph
+    + TUM trajectory."""
+    from cfear_radarodometry_code_public_tpu import merge_sessions as cli
+    pa = str(tmp_path / "a.npz")
+    pb = str(tmp_path / "b.npz")
+    sessions["gb_a"].save(pa)
+    sessions["gb_b"].save(pb)
+    out = str(tmp_path / "merged.npz")
+    tum = str(tmp_path / "merged.tum")
+    res = cli.main([pa, pb, "--out", out, "--tum", tum, "--cpu"])
+    ka = len(sessions["gb_a"].poses)
+    kb = len(sessions["gb_b"].poses)
+    assert res["n_nodes"] == ka + kb
+    assert res["n_cross"] >= 2
+    merged = posegraph.GraphBuilder.load(out)
+    assert len(merged.poses) == ka + kb
+    cross = [e for e in merged.edges
+             if e[4] == posegraph.LOOP_APPEARANCE
+             and (e[0] < ka) != (e[1] < ka)]
+    assert len(cross) == res["n_cross"]
+    rows = np.loadtxt(tum)
+    assert rows.shape == (ka + kb, 8)
