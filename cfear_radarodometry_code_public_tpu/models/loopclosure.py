@@ -158,10 +158,13 @@ class LoopCloser:
             *[posegraph.payload_to_cellmap(s, m) for s in gb.scans])
         rk, sh = jax.tree.map(np.asarray, self._desc_fn(stacked))
 
-        # proposal: one K x K cosine-distance matrix
+        # proposal: one K x K cosine-distance matrix. Zero-norm
+        # (degenerate, empty-scan) ring keys default to similarity 0 ->
+        # distance 1 so they can never flood the candidate slots as
+        # "perfect" matches against every node
         norms = np.linalg.norm(rk, axis=-1)
         denom = np.outer(norms, norms)
-        d = 1.0 - np.divide(rk @ rk.T, denom, out=np.ones((n, n)),
+        d = 1.0 - np.divide(rk @ rk.T, denom, out=np.zeros((n, n)),
                             where=denom > 0)
         pairs = []           # (i, j) with j at least min_separation older
         pair_of = []         # slices of `pairs` per query node i

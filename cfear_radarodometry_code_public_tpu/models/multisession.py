@@ -102,10 +102,12 @@ def cross_session_matches(gb_a: posegraph.GraphBuilder,
     rk_b, sh_b = jax.tree.map(np.asarray, closer._desc_fn(stack_b))
     na, nb = rk_a.shape[0], rk_b.shape[0]
 
-    # proposal: (K_a x K_b) cosine distance
+    # proposal: (K_a x K_b) cosine distance. Zero-norm (degenerate) ring
+    # keys default to similarity 0 -> distance 1, so an empty-scan node
+    # can never flood the candidate slots as a "perfect" match
     denom = np.outer(np.linalg.norm(rk_a, axis=-1),
                      np.linalg.norm(rk_b, axis=-1))
-    d = 1.0 - np.divide(rk_a @ rk_b.T, denom, out=np.ones((na, nb)),
+    d = 1.0 - np.divide(rk_a @ rk_b.T, denom, out=np.zeros((na, nb)),
                         where=denom > 0)
     pairs = []
     for j in range(nb):
@@ -118,7 +120,10 @@ def cross_session_matches(gb_a: posegraph.GraphBuilder,
 
     ii = np.asarray([p[0] for p in pairs])
     jj = np.asarray([p[1] for p in pairs])
-    yaw = loopclosure._yaws_from_sectors(sh_a[ii], sh_b[jj], lc.n_sectors)
+    # argument order mirrors the intra-session call (SOURCE histogram
+    # first): the verification registers kf=A-scan, src=B-scan, and
+    # swapping the cross-correlation arguments negates the shift
+    yaw = loopclosure._yaws_from_sectors(sh_b[jj], sh_a[ii], lc.n_sectors)
     guesses = np.stack([np.zeros_like(yaw), np.zeros_like(yaw), -yaw],
                        -1).astype(np.float32)
     p2 = len(pairs)
@@ -199,8 +204,10 @@ def merge_graphs(gb_a: posegraph.GraphBuilder,
             joint.has_gt[idx] = gb.has_gt[k]
             if gb.scans[k] is not None:
                 joint.scans[idx] = dict(gb.scans[k])
-        for (i, j, t_ij, info, kind) in gb.edges:
-            joint._add_constraint(i + off, j + off, t_ij, info, kind)
+        for pos, (i, j, t_ij, info, kind) in enumerate(gb.edges):
+            # carry the per-edge Constraint3d::quality records through
+            joint._add_constraint(i + off, j + off, t_ij, info, kind,
+                                  quality=gb.quality.get(pos))
     ka = len(gb_a.poses)
     for mt in matches:
         joint.add_loop_edge(
@@ -230,6 +237,15 @@ def merge_sessions(gb_a: posegraph.GraphBuilder,
             f"only {len(matches)} verified cross-session matches "
             f"(< {ms.min_matches}); sessions do not overlap enough to merge")
     t_ab, inliers = align_from_matches(gb_a, gb_b, matches, ms)
+    # the bar applies to the CONSENSUS inliers, not the raw matches: two
+    # verified-but-aliased matches that disagree on T_ab must refuse to
+    # merge rather than glue the maps at an arbitrary single-vote
+    # transform
+    if len(inliers) < ms.min_matches:
+        raise ValueError(
+            f"only {len(inliers)} consensus-consistent cross-session "
+            f"matches (< {ms.min_matches}); sessions do not overlap "
+            "enough to merge")
     joint = merge_graphs(gb_a, gb_b, inliers, t_ab)
     graph = joint.to_arrays()
     if mesh is not None:

@@ -244,7 +244,6 @@ def _associate_world(attrs, src: CellMap, src_pose, kf_valid, radius,
     src_mean_w = se2.transform(src_pose, src.mean)            # (M, 2)
     src_norm_w = se2.rotate(src_pose, src.normal)
 
-    g = None
     if method == "pallas":
         from cfear_radarodometry_code_public_tpu.ops import pallas_assoc
         tar_valid = (attrs[..., 6] > 0.5) & kf_valid[:, None]
@@ -298,9 +297,7 @@ def _associate_world(attrs, src: CellMap, src_pose, kf_valid, radius,
     #    CPU gets the flat gather for ANY S: XLA CPU materializes the
     #    (S, M, M) one-hot operand (~1.9 GB f32 at s50 scale).
     s_kf, m_tar = attrs.shape[0], attrs.shape[1]
-    if g is not None:
-        pass        # fused in-kernel lookup (pallas_sparse path above)
-    elif s_kf >= 8 and jax.default_backend() != "cpu":
+    if s_kf >= 8 and jax.default_backend() != "cpu":
         oh = (nn_all[..., None]
               == jnp.arange(m_tar, dtype=jnp.int32)).astype(attrs.dtype)
         g = jnp.einsum("snm,smd->snd", oh, attrs,

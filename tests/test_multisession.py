@@ -174,3 +174,33 @@ def test_merge_sessions_cli(sessions, tmp_path):
     assert len(cross) == res["n_cross"]
     rows = np.loadtxt(tum)
     assert rows.shape == (ka + kb, 8)
+
+
+def test_cross_session_yaw_seed_convention():
+    """Cross-session matching must find loops when session B revisits the
+    route with a LARGE heading difference — the regime that exposes the
+    yaw-seed sign (a negated seed points ~2*yaw away and verification
+    rejects everything; same-direction revisits cannot catch it)."""
+    cfg = _cfg()
+    rng = np.random.default_rng(77)
+    world = synthetic.make_world(rng)
+    traj_a = synthetic.make_trajectory(np.random.default_rng(78), 24,
+                                       dt=cfg.radar.sensor_period, speed=8.0)
+    # session B traverses the SAME stretch with headings rotated 90
+    # degrees (a crossing-direction revisit). A negated yaw seed points
+    # ~180 degrees from the truth here (+-pi/2 vs -pi/2); the
+    # reverse-driving case (relative yaw ~ pi) is sign-DEGENERATE and
+    # cannot catch the convention
+    route_b = traj_a[20:4:-1].copy()
+    route_b[:, 2] += np.pi / 2
+    imgs_a = _render_route(world, traj_a, cfg, seed=500)
+    imgs_b = _render_route(world, route_b, cfg, seed=700)
+    gb_a, _, _ = _run_session(imgs_a, cfg)
+    gb_b, _, kf_b = _run_session(imgs_b, cfg)
+    matches = multisession.cross_session_matches(gb_a, gb_b, cfg)
+    assert len(matches) >= 2, \
+        "reverse-direction revisit must still produce verified matches"
+    t_ab, inliers = multisession.align_from_matches(gb_a, gb_b, matches)
+    t_true = route_b[0]
+    assert np.linalg.norm(t_ab[:2] - t_true[:2]) < 1.5, (t_ab, t_true)
+    assert abs(np.angle(np.exp(1j * (t_ab[2] - t_true[2])))) < 0.1

@@ -611,3 +611,30 @@ def test_sparse_multi_kernel_matches_sparse():
                                ts=ts)
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_sparse_unrolled_kernel_matches_sparse():
+    """`nn_min_sparse_unrolled` (statically-unrolled in-kernel keyframe
+    loop, pl.when-guarded scratch accumulation) must reproduce
+    `nn_min_sparse` exactly — tie-breaks and skipped-row (+inf, 0)
+    semantics included."""
+    from cfear_radarodometry_code_public_tpu.ops import pallas_assoc as pa
+
+    rng = np.random.default_rng(13)
+    s, m, msrc, ts, radius = 6, 1024, 512, 256, 5.0
+    src = rng.normal(size=(msrc, 2)).astype(np.float32) * 60
+    src = src[np.argsort(src[:, 0], kind="stable")]
+    tar = rng.normal(size=(s, m, 2)).astype(np.float32) * 60
+    for k in range(s):
+        tar[k] = tar[k][np.argsort(tar[k][:, 0], kind="stable")]
+    tv = rng.random((s, m)) < 0.8
+    tv[2] = False                                        # empty keyframe
+    sb = pa.tile_bounds(jnp.asarray(src), jnp.ones((msrc,), bool), ts)
+    tb = pa.tile_bounds(jnp.asarray(tar), jnp.asarray(tv), pa._TT_SPARSE)
+    a = pa.nn_min_sparse(jnp.asarray(src), sb, jnp.asarray(tar), tb,
+                         jnp.asarray(tv), radius, interpret=True, ts=ts)
+    b = pa.nn_min_sparse_unrolled(jnp.asarray(src), sb, jnp.asarray(tar),
+                                  tb, jnp.asarray(tv), radius,
+                                  interpret=True, ts=ts)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
