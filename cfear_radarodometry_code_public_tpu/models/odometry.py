@@ -420,16 +420,20 @@ class OdometryRunner:
         # leaf ONCE: fetching the ~10 leaves of every chunk separately pays
         # the remote tunnel's ~30 ms RTT per transfer (measured: a
         # 1024-frame run spent ~10 s fetching 32 chunks x 10 leaves; the
-        # stacked fetch is ~0.3 s)
-        if len(self.outputs) > 1:
-            on_dev = [o for o in self.outputs
-                      if not isinstance(jax.tree.leaves(o)[0], np.ndarray)]
-            if on_dev:
-                stacked = jax.tree.map(lambda *xs: jnp.concatenate(
-                    [jnp.atleast_1d(x) for x in xs]), *self.outputs)
-                self.outputs = [jax.tree.map(np.asarray, stacked)]
-                return
-        self.outputs = [jax.tree.map(np.asarray, o) for o in self.outputs]
+        # stacked fetch is ~0.3 s). Only the DEVICE-RESIDENT suffix is
+        # stacked — already-materialized numpy outputs (earlier calls, the
+        # online daemon's incremental polls, resume()) must not round-trip
+        # back through the device.
+        split = next((i for i, o in enumerate(self.outputs)
+                      if not isinstance(jax.tree.leaves(o)[0], np.ndarray)),
+                     len(self.outputs))
+        head, tail = self.outputs[:split], self.outputs[split:]
+        if len(tail) > 1:
+            stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs), *tail)
+            tail = [jax.tree.map(np.asarray, stacked)]
+        elif tail:
+            tail = [jax.tree.map(np.asarray, tail[0])]
+        self.outputs = head + tail
 
     def trajectory(self) -> np.ndarray:
         self._materialize()
