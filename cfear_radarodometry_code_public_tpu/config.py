@@ -95,6 +95,21 @@ class FeatureConfig:
     # 0 = off. Results are IDENTICAL as long as the valid count stays under
     # the budget; on overflow the latest-azimuth points are dropped.
     point_budget: int = 0
+    # feature-stage moment-accumulation backend: "xla" = segment_sum
+    # voxel scatter + 9-offset roll combine; "pallas" = fused one-hot MXU
+    # contraction over compact (cumsum-ranked) cells with x-slab tile
+    # skipping (ops/pallas_features.py — replaces the scatter, the roll
+    # combine AND the dense-grid compaction argsort); "auto" = pallas on
+    # TPU when the shapes tile (point_budget % 512 == 0), xla otherwise.
+    # Results are equal up to f32 summation order (integer gates
+    # bit-equal); equivalence-tested in tests/test_features.py.
+    backend: str = "auto"
+    # compact-cell budget of the pallas backend (multiple of 128;
+    # 0 = auto: max(2048, 2*max_cells)). Occupied voxels beyond this
+    # budget (vid order) are dropped — bench/longrun occupancy is
+    # ~930-2000, so the auto budget leaves >2x headroom; the xla backend
+    # has no such cap.
+    pre_cells: int = 0
     # order kept cells by Morton code of their voxel index (valid cells
     # first). The cell map is a SET — ordering changes no semantics (only
     # exact argmin ties between equidistant targets, measure-zero) — but a
@@ -195,6 +210,22 @@ class OdometryConfig:
     cov_sampling_samples_per_axis: int = 3
     cov_sampling_covariance_scaler: float = 4.0
     store_graph: bool = True
+    # --- odometry health signal (reverse-registration consistency) -------
+    # Every K frames, re-register the LAST KEYFRAME's cells against the
+    # current scan placed at its estimated pose (the reverse problem) and
+    # compare the recovered keyframe pose with the stored one. A healthy
+    # solve is forward/backward-consistent to ~cm; a degraded-but-
+    # "successful" regime (high-speed motion distortion biasing the
+    # associations — the documented 12 m/s extent-1000 breaking regime
+    # drifts 8.5% with ZERO divergence-gate failures) shows a systematic
+    # forward/backward discrepancy that this catches. Runs the service
+    # node's IsConsistent idea (`registration_srv_node.cpp:131-142`)
+    # against a reverse solve instead of the guess. 0 = off (no cost);
+    # K>0 pays ~1/K extra registrations on the single-sequence path
+    # (under vmap the reverse solve cannot be skipped on off-frames).
+    health_check_every: int = 0
+    health_max_dist: float = 0.3
+    health_max_rot_deg: float = 1.5
 
 
 @dataclass(frozen=True)

@@ -219,6 +219,56 @@ def merge_graphs(gb_a: posegraph.GraphBuilder,
     return joint
 
 
+def merge_many(graphs: List[posegraph.GraphBuilder],
+               cfg: CFEARConfig,
+               ms: MultiSessionConfig | None = None,
+               lc: loopclosure.LoopCloserConfig | None = None,
+               mesh=None, iters: int = 15):
+    """Incremental N-session merge (the TBV-SLAM multi-session role,
+    `types.h:192-196`, `README.md:150-152` — fusing MANY sessions' graphs
+    into one map, not just a pair).
+
+    Session k+1 is matched against the ENTIRE joint graph built so far
+    (scan payloads are carried through `merge_graphs`, so later sessions
+    can close against any earlier session's nodes, not only session 0),
+    aligned by the same consensus vote as the pairwise path, and appended.
+    A session whose matches lack consensus against the joint graph REFUSES
+    to merge (ValueError naming the session index) rather than gluing maps
+    at an arbitrary transform. One joint optimization runs at the end.
+
+    Returns (opt_poses (sum K_i, 3), joint GraphBuilder, per-merge info
+    list of dicts {session, t_ab, inliers}, node offsets (len N,))."""
+    if len(graphs) < 2:
+        raise ValueError("merge_many needs at least two session graphs")
+    ms = ms or MultiSessionConfig()
+    joint = graphs[0]
+    offsets = [0]
+    merges = []
+    for k, gb in enumerate(graphs[1:], start=1):
+        offsets.append(len(joint.poses))
+        matches = cross_session_matches(joint, gb, cfg, ms, lc)
+        if len(matches) < ms.min_matches:
+            raise ValueError(
+                f"session {k}: only {len(matches)} verified cross-session "
+                f"matches against the joint graph (< {ms.min_matches}); "
+                "session does not overlap enough to merge")
+        t_ab, inliers = align_from_matches(joint, gb, matches, ms)
+        if len(inliers) < ms.min_matches:
+            raise ValueError(
+                f"session {k}: only {len(inliers)} consensus-consistent "
+                f"matches (< {ms.min_matches}); refusing to merge")
+        joint = merge_graphs(joint, gb, inliers, t_ab)
+        merges.append(dict(session=k, t_ab=t_ab, inliers=inliers))
+    graph = joint.to_arrays()
+    if mesh is not None:
+        from cfear_radarodometry_code_public_tpu.parallel import pgo
+        opt, _ = pgo.distributed_optimize(graph, mesh, iters=iters)
+    else:
+        opt, _ = posegraph.optimize(graph, iters=iters)
+    return (np.asarray(opt.poses)[:len(joint.poses)], joint, merges,
+            np.asarray(offsets))
+
+
 def merge_sessions(gb_a: posegraph.GraphBuilder,
                    gb_b: posegraph.GraphBuilder,
                    cfg: CFEARConfig,

@@ -60,6 +60,12 @@ class FrameOutput(NamedTuple):
     num_assoc: jax.Array
     num_cells: jax.Array
     reg_iterations: jax.Array
+    # reverse-registration health signal (odometry.health_check_every):
+    # checked=False frames carry (0, 0, healthy=True)
+    health_checked: jax.Array  # bool
+    healthy: jax.Array         # bool
+    health_dist: jax.Array     # f32 m  — forward/backward discrepancy
+    health_rot: jax.Array      # f32 rad
 
 
 def _tree_select(pred, a, b):
@@ -158,7 +164,10 @@ def make_bootstrap(cfg: CFEARConfig, ingest: str = "image"):
             cov=jnp.eye(3, dtype=ident.dtype), success=jnp.asarray(True),
             score=jnp.asarray(0.0, ident.dtype),
             num_assoc=jnp.asarray(0, jnp.int32), num_cells=cells.n,
-            reg_iterations=jnp.asarray(0, jnp.int32))
+            reg_iterations=jnp.asarray(0, jnp.int32),
+            health_checked=jnp.asarray(False), healthy=jnp.asarray(True),
+            health_dist=jnp.asarray(0.0, ident.dtype),
+            health_rot=jnp.asarray(0.0, ident.dtype))
         return new_state, out
 
     return bootstrap
@@ -209,6 +218,48 @@ def _fuse_frame(state: OdometryState, cells: CellMap, cfg: CFEARConfig
             t_cur, cfg)
         cov = jnp.where(convex, cov_s, cov)
 
+    # --- reverse-registration health check (`health_check_every`) --------
+    # Register the LAST KEYFRAME's cells against the current scan placed at
+    # t_cur (the reverse problem, guess = the stored keyframe pose) and
+    # measure the forward/backward discrepancy. A biased-but-"successful"
+    # forward solve (the 12 m/s breaking regime: plentiful self-consistent
+    # associations on motion-distorted scans) reverses to a DIFFERENT pose;
+    # a healthy solve is consistent to ~cm. Runs every K frames via
+    # lax.cond (a real branch in the single-sequence scan; under vmap both
+    # sides execute — enable only where the cost is acceptable).
+    if odo.health_check_every:
+        # the reverse solve must ALWAYS register (a disable_registration
+        # ablation would otherwise echo its guess and report healthy)
+        import dataclasses as _dc
+        cfg_rev = cfg.replace(registration=_dc.replace(
+            cfg.registration, disable_registration=False))
+
+        def _rev_check(_):
+            kf1 = jax.tree.map(lambda a: a[None], cells)
+            res_r = registration.register(
+                kf1, t_cur[None], jnp.ones((1,), bool),
+                jax.tree.map(lambda a: a[-1], state.kf_cells),
+                state.kf_poses[-1], cfg=cfg_rev)
+            d = se2.relative(state.kf_poses[-1], res_r.pose)
+            return (jnp.linalg.norm(d[:2]),
+                    jnp.abs(se2.normalize_angle(d[2])))
+
+        def _skip(_):
+            z = jnp.asarray(0.0, t_cur.dtype)
+            return z, z
+
+        checked = ((state.frame_nr % odo.health_check_every) == 0) \
+            & state.kf_valid[-1]
+        h_dist, h_rot = jax.lax.cond(checked, _rev_check, _skip, None)
+        healthy = (~checked) | (
+            (h_dist <= odo.health_max_dist)
+            & (h_rot <= math.radians(odo.health_max_rot_deg)))
+    else:
+        checked = jnp.asarray(False)
+        healthy = jnp.asarray(True)
+        h_dist = jnp.asarray(0.0, t_cur.dtype)
+        h_rot = jnp.asarray(0.0, t_cur.dtype)
+
     keydiff = se2.relative(state.kf_poses[-1], t_cur)
     fuse = (jnp.linalg.norm(keydiff[:2]) > odo.keyframe_min_dist) \
         | (jnp.abs(se2.normalize_angle(keydiff[2])) > rot_gate)
@@ -231,7 +282,9 @@ def _fuse_frame(state: OdometryState, cells: CellMap, cfg: CFEARConfig
         shift=jnp.where(fuse, t_cur, jnp.zeros_like(t_cur)),
         fused=fuse, cov=cov, success=res.success,
         score=res.score, num_assoc=res.num_assoc, num_cells=cells.n,
-        reg_iterations=res.iterations)
+        reg_iterations=res.iterations,
+        health_checked=checked, healthy=healthy,
+        health_dist=h_dist, health_rot=h_rot)
     return new_state, out
 
 
@@ -475,7 +528,15 @@ class OdometryRunner:
                       for i, l in enumerate(leaves)]
         runner.state = jax.tree.unflatten(treedef, new_leaves)
         if "out_pose" in z:
-            out = FrameOutput(**{k: z[f"out_{k}"]
-                                 for k in FrameOutput._fields})
+            t = z["out_pose"].shape[0]
+            # health fields may be absent in checkpoints written before
+            # the reverse-registration health signal existed
+            defaults = {"health_checked": np.zeros((t,), bool),
+                        "healthy": np.ones((t,), bool),
+                        "health_dist": np.zeros((t,), np.float32),
+                        "health_rot": np.zeros((t,), np.float32)}
+            out = FrameOutput(**{
+                k: (z[f"out_{k}"] if f"out_{k}" in z.files else defaults[k])
+                for k in FrameOutput._fields})
             runner.outputs = [out]
         return runner

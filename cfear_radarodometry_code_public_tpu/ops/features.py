@@ -150,6 +150,18 @@ def compute_cells_batched(points: PointCloud, cfg: CFEARConfig) -> CellMap:
         # row compaction: every scatter/gather below is row-bound, and the
         # (A, k) candidate array carries many invalid slots
         points = budget_points(points, p)
+
+    backend = feat.backend
+    if backend == "auto":
+        from cfear_radarodometry_code_public_tpu.ops import pallas_features
+        backend = "pallas" if (
+            jax.default_backend() == "tpu"
+            and pallas_features.supported(points.xy.shape[1],
+                                          _pre_cells(cfg))) else "xla"
+    if backend == "pallas":
+        return _compute_cells_batched_pallas(
+            points, cfg, interpret=jax.default_backend() == "cpu")
+
     xy = points.xy                                            # (B, N, 2)
     b, n_pts = xy.shape[0], xy.shape[1]
     valid = points.valid                                      # (B, N)
@@ -281,11 +293,25 @@ def compute_cells_batched(points: PointCloud, cfg: CFEARConfig) -> CellMap:
     planarity = jnp.log1p(cond / 2.0)
 
     # --- compaction to the fixed cell budget ---
-    # valid cells first; on overflow keep the MOST-SUPPORTED cells (largest
-    # nsamples) rather than a spatial band of voxel ids. All per-cell
-    # outputs are packed into ONE (B, ncells, 10) buffer first so the
-    # compaction pays a single (B*m)-row gather instead of six (gathers
-    # are row-rate-bound on this TPU: ~0.13 ms per 16k rows each).
+    ib = jnp.broadcast_to(jnp.arange(ncells, dtype=jnp.int32)[None],
+                          (b, ncells))
+    return _finalize_cells(mean, nvec, cxx, cxy, cyy, nsamp, planarity,
+                           cell_ok, ib // dim, ib % dim, cfg)
+
+
+def _finalize_cells(mean, nvec, cxx, cxy, cyy, nsamp, planarity, cell_ok,
+                    ix, iy, cfg: CFEARConfig) -> CellMap:
+    """Shared compaction tail: candidate cell rows -> fixed-budget CellMap.
+
+    Valid cells first; on overflow keep the MOST-SUPPORTED cells (largest
+    nsamples) rather than a spatial band of voxel ids. All per-cell
+    outputs are packed into ONE (B, rows, 12) buffer first so the
+    compaction pays a single (B*m)-row gather instead of many (gathers
+    are row-rate-bound on this TPU: ~0.13 ms per 16k rows each). The
+    voxel indices (ix, iy) ride two pack columns (< 2^15, exact in f32)
+    for the optional Morton re-sort.
+    """
+    feat = cfg.feature
     m = feat.max_cells
     order = jnp.argsort(
         -jnp.where(cell_ok, nsamp + 1.0, 0.0), axis=-1)
@@ -294,7 +320,9 @@ def compute_cells_batched(points: PointCloud, cfg: CFEARConfig) -> CellMap:
     packed = jnp.stack(
         [mean[..., 0], mean[..., 1], nvec[..., 0], nvec[..., 1],
          cxx, cxy, cyy, nsamp, planarity,
-         cell_ok.astype(mean.dtype)], axis=-1)            # (B, ncells, 10)
+         cell_ok.astype(mean.dtype),
+         ix.astype(mean.dtype), iy.astype(mean.dtype)],
+        axis=-1)                                          # (B, rows, 12)
     kept = jnp.take_along_axis(packed, take[..., None], axis=1)
     kept_valid = kept[..., 9] > 0.5
 
@@ -304,10 +332,8 @@ def compute_cells_batched(points: PointCloud, cfg: CFEARConfig) -> CellMap:
         # — the block-sparse association kernel skips (src-tile, tar-tile)
         # pairs by bounding box, which needs this coherence. Set-semantics
         # preserved: same cells, different order.
-        # the kept cells' voxel ids ARE the take indices (rows are voxel-id
-        # ordered before compaction) — no gather needed
-        kept_vid = take
-        code = _morton2(kept_vid // dim, kept_vid % dim)
+        code = _morton2(kept[..., 10].astype(jnp.int32),
+                        kept[..., 11].astype(jnp.int32))
         skey = jnp.where(kept_valid, code, jnp.int32(2 ** 30))
         order2 = jnp.argsort(skey, axis=-1, stable=True)
         kept = jnp.take_along_axis(kept, order2[..., None], axis=1)
@@ -324,6 +350,170 @@ def compute_cells_batched(points: PointCloud, cfg: CFEARConfig) -> CellMap:
         planarity=jnp.where(kept_valid, kept[..., 8], 0.0),
         valid=kept_valid,
     )
+
+
+def _pre_cells(cfg: CFEARConfig) -> int:
+    """Compact-cell budget of the pallas feature backend."""
+    if cfg.feature.pre_cells:
+        return cfg.feature.pre_cells
+    return max(2048, -(-2 * cfg.feature.max_cells // 128) * 128)
+
+
+def _compute_cells_batched_pallas(points: PointCloud, cfg: CFEARConfig,
+                                  interpret: bool = False) -> CellMap:
+    """Pallas-backend oriented-surface-point extraction.
+
+    Same stage-1 voxel pass as the XLA path; stage-2 becomes the fused
+    one-hot MXU moment kernel (`ops/pallas_features.py`) over COMPACT
+    cells (occupied voxels ranked by a plain cumsum in vid order — no
+    sort, no scatter, no inverse map: the kernel's cnt*cx/cnt*cy columns
+    recover each cell's voxel center). Replaces the (B*P, 63) segment_sum,
+    the 9-offset roll/shift combine, and the dense-grid compaction argsort
+    (the final top-max_cells argsort runs over c_pre rows instead of the
+    full voxel grid). Results equal the XLA backend up to f32 summation
+    order; integer gates (nsamples, occupancy) are bit-equal. Occupied
+    voxels beyond `c_pre` (vid order) are dropped — the XLA path instead
+    keeps the most-supported cells; bench/longrun occupancy leaves >2x
+    headroom (see FeatureConfig.pre_cells).
+    """
+    from cfear_radarodometry_code_public_tpu.ops import pallas_features
+
+    feat = cfg.feature
+    leaf, dim, noff = _grid_geometry(cfg)
+    ncells = dim * dim
+    c_pre = _pre_cells(cfg)
+    xy = points.xy                                            # (B, N, 2)
+    b, n_pts = xy.shape[0], xy.shape[1]
+    valid = points.valid
+    lane = jnp.arange(b, dtype=jnp.int32)[:, None]
+
+    # --- stage 1: voxel centroids (identical to the XLA path) -------------
+    vidx = jnp.floor(xy / leaf).astype(jnp.int32) + dim // 2
+    in_grid = valid & jnp.all((vidx >= 0) & (vidx < dim), axis=-1)
+    vid = vidx[..., 0] * dim + vidx[..., 1]
+    vid_flat = jnp.where(in_grid, lane * ncells + vid, b * ncells)
+    ones = in_grid.astype(jnp.float32)
+    s1 = jax.ops.segment_sum(
+        jnp.concatenate([ones[..., None], xy * ones[..., None]],
+                        -1).reshape(b * n_pts, 3),
+        vid_flat.reshape(b * n_pts),
+        num_segments=b * ncells + 1)[:b * ncells].reshape(b, ncells, 3)
+    cnt_vox, sum_vox = s1[..., 0], s1[..., 1:3]
+    centroid = sum_vox / jnp.maximum(cnt_vox, 1.0)[..., None]
+    occupied = cnt_vox >= 1.0                                 # (B, ncells)
+
+    # --- compact ranks: cumsum over the occupancy grid (vid order) --------
+    ranks = jnp.cumsum(occupied.astype(jnp.int32), axis=-1) - 1
+    rank_ok = occupied & (ranks < c_pre)
+    rank_f = jnp.where(rank_ok, ranks, c_pre).astype(jnp.float32)
+
+    # --- neighborhood pack: (cx, cy, occ, rank) per offset per point ------
+    if feat.weight_intensity:
+        w_pt = jnp.maximum(points.intensity - feat.intensity_floor, 0.0)
+    else:
+        w_pt = jnp.ones_like(points.intensity)
+    offsets = [(dx, dy) for dx in range(-noff, noff + 1)
+               for dy in range(-noff, noff + 1)]
+    n_off = len(offsets)
+    cgrid = jnp.concatenate(
+        [centroid.reshape(b, dim, dim, 2),
+         occupied.reshape(b, dim, dim, 1).astype(jnp.float32),
+         rank_f.reshape(b, dim, dim, 1)], -1)
+    nb = jnp.concatenate(
+        [jnp.roll(cgrid, (-dx, -dy), (1, 2)) for dx, dy in offsets], -1)
+    vid_c = jnp.clip(jnp.where(in_grid, vid, ncells), 0, ncells - 1)
+    nb_pt = nb.reshape(b * ncells, 4 * n_off)[
+        (lane * ncells + vid_c).reshape(b * n_pts)]
+    nb_pt = nb_pt.reshape(b, n_pts, 4 * n_off)
+
+    own_cx = (vidx[..., 0].astype(jnp.float32) - dim // 2 + 0.5) * leaf
+    own_cy = (vidx[..., 1].astype(jnp.float32) - dim // 2 + 0.5) * leaf
+    rx = xy[..., 0] - own_cx
+    ry = xy[..., 1] - own_cy
+
+    mem_rows, trank_rows = [], []
+    for oi, (dx, dy) in enumerate(offsets):
+        tx = vidx[..., 0] + dx
+        ty = vidx[..., 1] + dy
+        ok = in_grid & (tx >= 0) & (tx < dim) & (ty >= 0) & (ty < dim)
+        c = nb_pt[..., 4 * oi:4 * oi + 2]
+        occ = nb_pt[..., 4 * oi + 2] > 0.5
+        trk = nb_pt[..., 4 * oi + 3]
+        d2 = jnp.sum((xy - c) ** 2, axis=-1)
+        mem = ok & occ & (d2 <= feat.res * feat.res) & (trk < c_pre)
+        mem_rows.append(mem.astype(jnp.float32))
+        trank_rows.append(jnp.where(mem, trk, float(c_pre)))
+
+    n_rows = 5 + 2 * n_off
+    n_rows_pad = -(-n_rows // 8) * 8
+    pack = jnp.stack(
+        [rx, ry, w_pt * in_grid, own_cx, own_cy]
+        + mem_rows + trank_rows
+        + [jnp.zeros_like(rx)] * (n_rows_pad - n_rows), axis=1)
+
+    # --- tile bounds for the kernel's x-slab skip -------------------------
+    # cell tiles are rank slabs in vid (x-major) order: tile t covers the
+    # x-rows whose occupied-count interval overlaps [128 t, 128 (t+1))
+    n_ct = c_pre // pallas_features.CT
+    row_counts = jnp.sum(rank_ok.reshape(b, dim, dim).astype(jnp.int32), -1)
+    cum_end = jnp.cumsum(row_counts, axis=-1)                 # (B, dim)
+    cum_lo = cum_end - row_counts
+    starts = (jnp.arange(n_ct, dtype=jnp.int32)
+              * pallas_features.CT)[None, None, :]
+    has = (cum_end[..., None] > starts) \
+        & (cum_lo[..., None] < starts + pallas_features.CT)   # (B, dim, n_ct)
+    rlo = (jnp.arange(dim, dtype=jnp.float32) - dim // 2) * leaf
+    rhi = rlo + leaf
+    dil = feat.res + 1e-3
+    ct_lo = jnp.min(jnp.where(has, rlo[None, :, None], jnp.inf), 1) - dil
+    ct_hi = jnp.max(jnp.where(has, rhi[None, :, None], -jnp.inf), 1) + dil
+
+    pt = pallas_features.PT
+    px = jnp.where(in_grid, xy[..., 0], jnp.inf).reshape(b, n_pts // pt, pt)
+    pxn = jnp.where(in_grid, xy[..., 0], -jnp.inf).reshape(b, n_pts // pt, pt)
+    pt_lo = jnp.min(px, -1)
+    pt_hi = jnp.max(pxn, -1)
+
+    offsets_m = tuple((dx * leaf, dy * leaf) for dx, dy in offsets)
+    acc = pallas_features.moment_accumulate(
+        pack, ct_lo, ct_hi, pt_lo, pt_hi, offsets_m=offsets_m,
+        n_off=n_off, c_pre=c_pre, interpret=interpret)        # (B, 16, C)
+
+    # --- moments about each compact cell's voxel center -------------------
+    nsamp = acc[:, 0]
+    s0 = acc[:, 1]
+    safe_cnt = jnp.maximum(nsamp, 1.0)
+    vc_x = acc[:, 7] / safe_cnt
+    vc_y = acc[:, 8] / safe_cnt
+    safe_s0 = jnp.maximum(s0, 1e-12)
+    mx, my = acc[:, 2] / safe_s0, acc[:, 3] / safe_s0
+    cxx = acc[:, 4] / safe_s0 - mx * mx
+    cxy = acc[:, 5] / safe_s0 - mx * my
+    cyy = acc[:, 6] / safe_s0 - my * my
+
+    lmin, lmax, nvec = _eig2x2_min(cxx, cxy, cyy)
+    cond = jnp.abs(lmax / jnp.where(lmin == 0.0, 1e-30, lmin))
+    det = lmax * lmin
+    cell_ok = (
+        (nsamp >= feat.min_samples)      # implies the voxel is occupied
+        & (s0 > 0.0)
+        & (cond <= feat.cond_max)
+        & (det > feat.det_min)
+        & (lmin > 0.0)
+        & (lmax > 0.0)
+    )
+    mean = jnp.stack([mx + vc_x, my + vc_y], -1)
+    flip = jnp.sum(nvec * (0.0 - mean), -1) < 0.0
+    nvec = jnp.where(flip[..., None], -nvec, nvec)
+    planarity = jnp.log1p(cond / 2.0)
+
+    # recover integer voxel indices from the exact-multiple voxel centers
+    ix = jnp.round(vc_x / leaf + dim // 2 - 0.5).astype(jnp.int32)
+    iy = jnp.round(vc_y / leaf + dim // 2 - 0.5).astype(jnp.int32)
+    ix = jnp.clip(ix, 0, dim - 1)
+    iy = jnp.clip(iy, 0, dim - 1)
+    return _finalize_cells(mean, nvec, cxx, cxy, cyy, nsamp, planarity,
+                           cell_ok, ix, iy, cfg)
 
 
 def compute_raw_cells(points: PointCloud, cfg: CFEARConfig) -> CellMap:

@@ -190,3 +190,65 @@ def test_point_budget_compaction_identical():
     key0 = np.lexsort((m0[:, 1], m0[:, 0]))
     key1 = np.lexsort((m1[:, 1], m1[:, 0]))
     np.testing.assert_allclose(m0[key0], m1[key1], atol=1e-5)
+
+
+def test_pallas_feature_backend_matches_xla():
+    """The fused Pallas moment kernel (`ops/pallas_features.py`) must
+    produce the same cell set as the XLA scatter backend: identical cell
+    count, bit-equal integer nsamples, and means/covariances equal up to
+    f32 summation order (the one-hot MXU contraction accumulates in a
+    different order than segment_sum). Runs in interpreter mode on CPU."""
+    import math
+
+    import jax
+
+    from cfear_radarodometry_code_public_tpu.datasets import synthetic
+    from cfear_radarodometry_code_public_tpu.ops import filtering
+    from cfear_radarodometry_code_public_tpu.utils import native_io
+
+    cfg = preset("CFEAR-3", dataset="synthetic")
+    cfg = cfg.replace(feature=dataclasses.replace(
+        cfg.feature, max_cells=512, point_budget=1024, spatial_sort=True))
+    images, _ = synthetic.make_sequence(seed=2, n_frames=3, cfg=cfg,
+                                        speed=6.0)
+    f = cfg.filter
+    min_bin = int(math.ceil(cfg.radar.min_distance / cfg.radar.range_res))
+    bb, aa, ii, pp = native_io.filter_frames_host_compact(
+        images, f.k_strongest, f.z_min, f.nms_window,
+        cfg.feature.point_budget, min_bin)
+    comp = filtering.CompactCandidates(
+        bins=jnp.asarray(bb), azimuth=jnp.asarray(aa),
+        intensity=jnp.asarray(ii), peak=jnp.asarray(pp))
+    pts = jax.vmap(lambda c: filtering.points_from_compact(c, cfg))(comp)
+
+    cm_x = features.compute_cells_batched(
+        pts, cfg.replace(feature=dataclasses.replace(cfg.feature,
+                                                     backend="xla")))
+    cm_p = features.compute_cells_batched(
+        pts, cfg.replace(feature=dataclasses.replace(cfg.feature,
+                                                     backend="pallas")))
+    for b in range(3):
+        vx = np.asarray(cm_x.valid[b])
+        vp = np.asarray(cm_p.valid[b])
+        assert vx.sum() == vp.sum() > 50
+        mx = np.asarray(cm_x.mean[b])[vx]
+        mp = np.asarray(cm_p.mean[b])[vp]
+        ox = np.lexsort((mx[:, 1], mx[:, 0]))
+        op = np.lexsort((mp[:, 1], mp[:, 0]))
+        np.testing.assert_allclose(mx[ox], mp[op], atol=1e-4)
+        np.testing.assert_array_equal(
+            np.asarray(cm_x.nsamples[b])[vx][ox],
+            np.asarray(cm_p.nsamples[b])[vp][op])
+        np.testing.assert_allclose(
+            np.asarray(cm_x.cov[b])[vx][ox],
+            np.asarray(cm_p.cov[b])[vp][op], atol=1e-4)
+        np.testing.assert_allclose(
+            np.abs(np.asarray(cm_x.normal[b])[vx][ox]),
+            np.abs(np.asarray(cm_p.normal[b])[vp][op]), atol=1e-3)
+
+    # auto dispatch stays on the XLA path on CPU (pallas only on TPU)
+    cm_a = features.compute_cells_batched(
+        pts, cfg.replace(feature=dataclasses.replace(cfg.feature,
+                                                     backend="auto")))
+    np.testing.assert_array_equal(np.asarray(cm_a.valid),
+                                  np.asarray(cm_x.valid))

