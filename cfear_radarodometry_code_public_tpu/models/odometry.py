@@ -423,14 +423,18 @@ class OdometryRunner:
 
     def process(self, images: np.ndarray) -> None:
         """Process (T, A, R) uint8 frames (T need not be chunk-aligned)."""
-        inp = self._prepare(images)        # ndarray or Candidates pytree
         t = images.shape[0]
 
         def part(lo, hi):
-            return jax.tree.map(lambda x: jnp.asarray(x[lo:hi]), inp)
+            # host ingest: the native filter runs HERE — on the caller's
+            # thread (the feeder), per chunk — so filtering chunk i+1
+            # overlaps the device compute of chunk i. (It used to run for
+            # ALL frames up front inside _prepare, serializing the whole
+            # host filter phase before the first chunk could start.)
+            return jax.tree.map(jnp.asarray, self._prepare(images[lo:hi]))
 
         def frame(i):
-            return jax.tree.map(lambda x: jnp.asarray(x[i]), inp)
+            return jax.tree.map(lambda x: x[0], part(i, i + 1))
 
         start = 0
         if t and not bool(self.state.initialized):
@@ -439,8 +443,9 @@ class OdometryRunner:
             start = 1
         n_full = start + ((t - start) // self.chunk) * self.chunk
         # Streaming discipline (the bench pipeline, built in):
-        # - uploads run on a FEEDER THREAD so the host->device transfer of
-        #   chunk i+1 overlaps the device compute of chunk i;
+        # - the FEEDER THREAD filters (host ingest) and uploads chunk i+1
+        #   while the device runs chunk i (the native filter call releases
+        #   the GIL and fans out over host cores itself);
         # - chunk outputs stay ON DEVICE until trajectory()/frame_outputs()
         #   (a per-chunk fetch would sync the dispatch pipeline and pay the
         #   host-link round-trip once per leaf per chunk — 30 ms RTT on the

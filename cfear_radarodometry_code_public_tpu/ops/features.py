@@ -153,11 +153,16 @@ def compute_cells_batched(points: PointCloud, cfg: CFEARConfig) -> CellMap:
 
     backend = feat.backend
     if backend == "auto":
-        from cfear_radarodometry_code_public_tpu.ops import pallas_features
-        backend = "pallas" if (
-            jax.default_backend() == "tpu"
-            and pallas_features.supported(points.xy.shape[1],
-                                          _pre_cells(cfg))) else "xla"
+        # MEASURED NEGATIVE RESULT (r5, eval_results/FEATURE_ROOFLINE_r5):
+        # the fused one-hot MXU moment kernel loses to the XLA scatter on
+        # this TPU in every formulation tried (7.5 / 13.7 ms vs 2.70 ms
+        # in-scan at B=8) — occupied voxels (~4.5k) are 5x the post-gate
+        # cell count, azimuth-ordered point tiles span the full world so
+        # bbox skipping never fires, and the one-hot contraction does 128x
+        # redundant MACs at 6-pass f32 precision. "auto" therefore always
+        # picks the XLA scatter; the kernel stays as an explicitly
+        # selectable, equivalence-tested backend.
+        backend = "xla"
     if backend == "pallas":
         return _compute_cells_batched_pallas(
             points, cfg, interpret=jax.default_backend() == "cpu")
@@ -353,10 +358,15 @@ def _finalize_cells(mean, nvec, cxx, cxy, cyy, nsamp, planarity, cell_ok,
 
 
 def _pre_cells(cfg: CFEARConfig) -> int:
-    """Compact-cell budget of the pallas feature backend."""
+    """Compact-cell budget of the pallas feature backend.
+
+    Must cover the OCCUPIED-VOXEL count (not the post-gate valid-cell
+    count, which is ~5x smaller): the Oxford-scale bench frame occupies
+    ~4.5k voxels from its 8192 budgeted points. Kernel cost is linear in
+    this budget."""
     if cfg.feature.pre_cells:
         return cfg.feature.pre_cells
-    return max(2048, -(-2 * cfg.feature.max_cells // 128) * 128)
+    return max(4608, -(-2 * cfg.feature.max_cells // 128) * 128)
 
 
 def _compute_cells_batched_pallas(points: PointCloud, cfg: CFEARConfig,

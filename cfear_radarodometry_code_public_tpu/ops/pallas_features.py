@@ -95,26 +95,29 @@ def _moment_kernel(n_off, n_ct, offsets_m, ct_lo_ref, ct_hi_ref,
             mem * (ocy + dym),              # cnt * cy_target
         ], axis=0))                         # (9, PT)
 
+    # one (16, n_off*PT) data block and per-cell-tile one-hot, both in the
+    # natural (sublane, lane) orientation — no in-kernel transposes; ONE
+    # MXU contraction per cell tile over the fused (offset, point) axis
+    d_all = jnp.concatenate(
+        [jnp.concatenate(d_rows, axis=1),
+         jnp.zeros((N_MOMENTS - 9, n_off * PT), jnp.float32)], axis=0)
+    trank_all = jnp.concatenate(
+        [pack_ref[5 + n_off + oi:6 + n_off + oi, :]
+         for oi in range(n_off)], axis=1).astype(jnp.int32)   # (1, n_off*PT)
+
     plo = pt_lo_ref[b, j]
     phi = pt_hi_ref[b, j]
     for ct in range(n_ct):
         # x-slab overlap test (cell-tile x-range pre-dilated on host side)
         @pl.when((ct_lo_ref[b, ct] <= phi) & (ct_hi_ref[b, ct] >= plo))
         def _(ct=ct):
-            acc = jnp.zeros((N_MOMENTS, CT), jnp.float32)
-            for oi in range(n_off):
-                trank = pack_ref[5 + n_off + oi:6 + n_off + oi, :]  # (1, PT)
-                cell_ids = jax.lax.broadcasted_iota(
-                    jnp.float32, (PT, CT), 1) + float(ct * CT)
-                oh = (trank.reshape(PT, 1) == cell_ids).astype(jnp.float32)
-                d = d_rows[oi]              # (9, PT)
-                acc = acc + jax.lax.dot_general(
-                    jnp.concatenate(
-                        [d, jnp.zeros((N_MOMENTS - 9, PT), jnp.float32)], 0),
-                    oh, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-            acc_ref[:, ct * CT:(ct + 1) * CT] += acc
+            cell_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (CT, n_off * PT), 0) + ct * CT
+            oh = (trank_all == cell_ids).astype(jnp.float32)  # (CT, K)
+            acc_ref[:, ct * CT:(ct + 1) * CT] += jax.lax.dot_general(
+                d_all, oh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.partial(jax.jit, static_argnames=("offsets_m", "n_off", "c_pre",

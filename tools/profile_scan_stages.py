@@ -125,11 +125,27 @@ def main():
     probe("ingest", scan_time(body_ingest, jnp.float32(0.0)))
 
     # features (carry perturbs one coordinate -> true dependency)
+    cfg_fx = cfg.replace(feature=dataclasses.replace(cfg.feature,
+                                                     backend="xla"))
+
     def body_feat(c, _):
         p = pts._replace(xy=pts.xy + c * 0.0)
-        cm = features.compute_cells_batched(p, cfg)
+        cm = features.compute_cells_batched(p, cfg_fx)
         return c + eps * jnp.sum(cm.mean[:, :8, 0]), None
     probe("features", scan_time(body_feat, jnp.float32(0.0)))
+
+    # features through the fused Pallas moment kernel
+    cfg_fp = cfg.replace(feature=dataclasses.replace(cfg.feature,
+                                                     backend="pallas"))
+
+    def body_feat_pl(c, _):
+        p = pts._replace(xy=pts.xy + c * 0.0)
+        cm = features.compute_cells_batched(p, cfg_fp)
+        return c + eps * jnp.sum(cm.mean[:, :8, 0]), None
+    try:
+        probe("feat_pallas", scan_time(body_feat_pl, jnp.float32(0.0)))
+    except Exception as e:  # keep the rest of the table on kernel failure
+        print(f"feat_pallas FAILED: {type(e).__name__}: {e}", flush=True)
 
     # features WITHOUT the stage-2 scatter (sum over the point axis instead)
     leaf, dim, noff = features._grid_geometry(cfg)
@@ -204,31 +220,36 @@ def main():
         return c + eps * jnp.sum(pose), None
     probe("register", scan_time(body_reg, jnp.float32(0.0)))
 
-    # full step
-    stepb = odometry.make_batched_step(cfg, "compact")
-    states0 = jax.vmap(lambda _: odometry.init_state(cfg))(jnp.arange(b))
-    states0, _ = jax.jit(jax.vmap(odometry.make_bootstrap(
-        cfg, "compact")))(states0, comp)
-    states0 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), states0)
+    # full step (xla feature backend, then the auto/pallas default)
+    for label, cfg_s in (("step_xla", cfg_fx), ("step", cfg)):
+        stepb = odometry.make_batched_step(cfg_s, "compact")
+        states0 = jax.vmap(lambda _: odometry.init_state(cfg_s))(
+            jnp.arange(b))
+        states0, _ = jax.jit(jax.vmap(odometry.make_bootstrap(
+            cfg_s, "compact")))(states0, comp)
+        states0 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)),
+                               states0)
 
-    def body_step(st, _):
-        st2, out = stepb(st, comp)
-        return st2, None
-    t_step = None
+        def body_step(st, _, stepb=stepb):
+            st2, out = stepb(st, comp)
+            return st2, None
 
-    @jax.jit
-    def run_step(st):
-        return jax.lax.scan(body_step, st, None, length=k)[0]
+        @jax.jit
+        def run_step(st, body_step=body_step):
+            return jax.lax.scan(body_step, st, None, length=k)[0]
 
-    out = run_step(states0)
-    np.asarray(out.t_prev)
-    ts = []
-    for _ in range(args.repeats):
-        t0 = time.time()
-        out = run_step(states0)
-        np.asarray(out.t_prev)
-        ts.append((time.time() - t0) / k * 1e3)
-    probe("step", float(np.median(ts)))
+        try:
+            out = run_step(states0)
+            np.asarray(out.t_prev)
+            ts = []
+            for _ in range(args.repeats):
+                t0 = time.time()
+                out = run_step(states0)
+                np.asarray(out.t_prev)
+                ts.append((time.time() - t0) / k * 1e3)
+            probe(label, float(np.median(ts)))
+        except Exception as e:
+            print(f"{label} FAILED: {type(e).__name__}: {e}", flush=True)
 
     print()
     d = dict(rows)
@@ -236,7 +257,7 @@ def main():
           f"{d['features'] - d['feat_nos2']:.3f} ms")
     print(f"stage sum (ingest+features+register): "
           f"{d['ingest'] + d['features'] + d['register']:.3f} ms "
-          f"vs step {d['step']:.3f} ms")
+          f"vs step {d.get("step", float("nan")):.3f} ms")
     print(f"per-chip steady state at B={b}: "
           f"{1000.0 * b / d['step']:.0f} frames/s")
 
