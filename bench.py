@@ -56,8 +56,6 @@ def main():
                          "(hand-batched step; 8 measured fastest — 16 "
                          "regresses on HBM traffic). 0 disables; the "
                          "reported fps is max(single, batched)")
-    ap.add_argument("--fused-lm", action="store_true",
-                    help="use the fused Pallas LM kernel")
     ap.add_argument("--ingest", choices=("host", "image"), default="host",
                     help="host: native data-plane filter + candidate "
                          "transfer (production pipeline); image: raw sweeps "
@@ -124,9 +122,6 @@ def main():
         # fastest single-sequence mode on this hardware (unrolled/batched
         # variants measured slower; see git history)
         cfg = preset(args.preset, dataset="oxford")
-        if args.fused_lm:
-            cfg = cfg.replace(registration=dataclasses.replace(
-                cfg.registration, use_fused_lm=True))
         if args.point_budget:
             cfg = cfg.replace(feature=dataclasses.replace(
                 cfg.feature, point_budget=args.point_budget))
@@ -268,7 +263,13 @@ def main():
         stepb = odometry.make_batched_step(cfg, kind)
 
         @jax.jit
-        def run_chunk_b(states, ins):
+        def run_seq_b(states, ins):
+            # ONE dispatch per repeat: scan over ALL steps. Dispatching
+            # per 32-frame chunk measured ~120 ms of tunnel overhead per
+            # call at batch 8 (the chunked batched loop plateaued at
+            # ~1293 fps/chip for 128 AND 256-frame sequences, while the
+            # in-scan device step is 4.24 ms = 1887 fps — the gap was
+            # per-dispatch cost on the remote backend, not compute)
             xs = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), ins)
             return jax.lax.scan(stepb, states, xs)
 
@@ -276,13 +277,14 @@ def main():
         states0, _ = jax.jit(jax.vmap(odometry.make_bootstrap(cfg, kind)))(
             states0, jax.tree.map(lambda x: jnp.asarray(
                 np.stack([np.asarray(x)] * b)), frame0()))
-        # pre-upload all chunks (candidates are small; in production the
-        # native loader streams them per sequence)
-        blocks = [jax.tree.map(
-            lambda x: jnp.asarray(np.stack([x] * b)), part(i, i + args.chunk))
-            for i in range(0, n_timed, args.chunk)]
+        # pre-upload the full input block (candidates are small; in
+        # production the native loader streams them per sequence — and the
+        # host filter at ~0.5 ms/frame across cores sustains ~4x this
+        # device rate, so pre-staging hides no host bottleneck)
+        block = jax.tree.map(
+            lambda x: jnp.asarray(np.stack([x] * b)), part(0, n_timed))
         t0 = time.time()
-        states, outb = run_chunk_b(states0, blocks[0])
+        states, outb = run_seq_b(states0, block)
         np.asarray(outb.pose)
         print(f"batched compile: {time.time() - t0:.1f}s", file=sys.stderr)
         rep = []
@@ -291,9 +293,7 @@ def main():
         # program/buffer residency over the first full pass)
         for r in range(args.repeats + 1):
             t0 = time.time()
-            states = states0
-            for blk in blocks:
-                states, outb = run_chunk_b(states, blk)
+            states, outb = run_seq_b(states0, block)
             np.asarray(outb.pose)
             if r > 0:
                 rep.append(b * n_timed / (time.time() - t0))
@@ -308,15 +308,13 @@ def main():
         # baseline for on-chip batching efficiency (how much of the chip a
         # single sequence already saturates)
         states1 = jax.tree.map(lambda a: a[:1], states0)
-        blocks1 = [jax.tree.map(lambda a: a[:1], blk) for blk in blocks]
-        st, o1 = run_chunk_b(states1, blocks1[0])
+        block1 = jax.tree.map(lambda a: a[:1], block)
+        st, o1 = run_seq_b(states1, block1)
         np.asarray(o1.pose)
         rep1 = []
         for r in range(args.repeats + 1):   # rep 0 = untimed warm-up
             t0 = time.time()
-            st = states1
-            for blk in blocks1:
-                st, o1 = run_chunk_b(st, blk)
+            st, o1 = run_seq_b(states1, block1)
             np.asarray(o1.pose)
             if r > 0:
                 rep1.append(n_timed / (time.time() - t0))
@@ -340,7 +338,10 @@ def main():
         runner.process(images)
         traj = runner.trajectory()
         res = kitti_drift(traj, gt, step_size=5, lengths=(50.0, 100.0))
-        print(f"synthetic drift: {res['t_err_percent']:.3f}% "
+        print(f"synthetic drift (SHORT 50/100 m protocol — regression "
+              f"canary only; the reference-comparable FULL 100-800 m "
+              f"number is in eval_results/LONGRUN_1024_tpu.txt): "
+              f"{res['t_err_percent']:.3f}% "
               f"({res['n_subsequences']} subseqs)", file=sys.stderr)
         fo = runner.frame_outputs()
         print(f"mean outer reg iterations: {fo.reg_iterations[1:].mean():.2f}; "

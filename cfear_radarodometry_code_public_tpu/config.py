@@ -170,13 +170,13 @@ class RegistrationConfig:
     min_assoc_fraction: float = 0.02
     # absolute score (final_cost / residual scalars) ceiling; inf disables
     max_score: float = math.inf
-    # Pallas single-kernel inner LM solve (bounded in-kernel fori_loop —
-    # the while_loop variant stalled the remote compiler inside lax.scan;
-    # the fori variant compiles in ~30 s and runs the full pipeline at
-    # ~418 fps vs ~450 fps for the packed-XLA while-loop path, because it
-    # always pays max_itr_solver iterations). Off by default: equal-or-
-    # slower than packed XLA on this hardware, kept as a working option.
-    use_fused_lm: bool = False
+    # NOTE r5: the former `use_fused_lm` option is gone. The fused Pallas
+    # LM kernel lost to the packed-XLA loop in every variant measured —
+    # r4: 418 vs 450 fps (always pays max_itr_solver); r5: 1267 vs ~1293
+    # fps/chip batched even WITH an in-kernel early exit (SMEM state +
+    # pl.when-guarded iterations). The kernels remain in ops/pallas_lm.py
+    # as equivalence-tested ablations (tests/test_registration.py), but
+    # the hot path no longer carries a permanently-losing config branch.
     # time-continuous registration (`RegisterTimeContinuous`,
     # `n_scan_normal.cpp:67-80`): pre-warp each source cell by the scaled
     # frame velocity at its relative scan time before the solve. The

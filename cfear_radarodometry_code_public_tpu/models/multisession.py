@@ -127,19 +127,13 @@ def cross_session_matches(gb_a: posegraph.GraphBuilder,
     guesses = np.stack([np.zeros_like(yaw), np.zeros_like(yaw), -yaw],
                        -1).astype(np.float32)
     p2 = len(pairs)
-    pad = loopclosure._next_pow2(p2)
-    a_gather = jnp.asarray(np.concatenate([ii, np.zeros(pad - p2, np.int64)]))
-    b_gather = jnp.asarray(np.concatenate([jj, np.zeros(pad - p2, np.int64)]))
-    g = jnp.asarray(np.concatenate(
-        [guesses, np.zeros((pad - p2, 3), np.float32)]))
-    res = closer._reg_batch(
-        jax.tree.map(lambda a: a[a_gather], stack_a),
-        jax.tree.map(lambda a: a[b_gather], stack_b), g)
-    score = np.asarray(res.score)[:p2]
-    success = np.asarray(res.success)[:p2]
-    num_assoc = np.asarray(res.num_assoc)[:p2]
-    rpose = np.asarray(res.pose)[:p2]
-    rcov = np.asarray(res.cov)[:p2]
+    # chunked verification (fixed batch width, bounded device memory)
+    res = closer._verify(stack_a, stack_b, ii, jj, guesses)
+    score = res["score"]
+    success = res["success"]
+    num_assoc = res["num_assoc"]
+    rpose = res["pose"]
+    rcov = res["cov"]
 
     matches = []
     for p in range(p2):

@@ -675,16 +675,14 @@ def register(kf_cells: CellMap, kf_poses, kf_valid, src: CellMap, guess,
         n_res = n_assoc * res_dim + (3 if reg.soft_constraint else 0)
         failed = n_res <= 1                     # (`n_scan_normal.cpp:370`)
         if not reg.soft_constraint:
+            # packed-XLA LM: measured faster than the fused Pallas LM
+            # kernel in every variant (see ops/pallas_lm.py, r5 note in
+            # RegistrationConfig) — the fused kernel stays as an ablation
             from cfear_radarodometry_code_public_tpu.ops import pallas_lm
             packed = pallas_lm.pack_associations(
                 src.mean, tgt, assoc.weight * assoc.valid, cfg)
-            if reg.use_fused_lm:
-                lm_pose, lm_cost, lm_steps, lm_rel = pallas_lm.lm_solve_fused(
-                    packed, st.pose, cfg,
-                    interpret=jax.default_backend() == "cpu")
-            else:
-                lm_pose, lm_cost, lm_steps, lm_rel = \
-                    pallas_lm.lm_solve_packed_xla(packed, st.pose, cfg)
+            lm_pose, lm_cost, lm_steps, lm_rel = \
+                pallas_lm.lm_solve_packed_xla(packed, st.pose, cfg)
             lm = _LMState(pose=lm_pose, cost=lm_cost, g=None, H=None,
                           radius=None, decrease_factor=None, itr=None,
                           steps=lm_steps, last_rel_decrease=lm_rel,

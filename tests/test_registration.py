@@ -524,15 +524,17 @@ def test_onehot_attr_lookup_exact():
 
 
 def test_fused_lm_matches_packed_xla():
-    """The fused Pallas LM kernel (bounded fori_loop variant, interpreter
-    mode on CPU) returns the same pose as the packed-XLA while-loop path."""
-    import dataclasses
+    """The fused Pallas LM kernels (masked-fori and early-exit variants,
+    interpreter mode on CPU) return the same solve as the packed-XLA
+    while-loop path. ABLATION: the kernels are no longer reachable from
+    config (they measured slower in every variant — r4 418 vs 450 fps,
+    r5 1267 vs ~1293 fps/chip batched WITH the early exit); this pins
+    their correctness as standalone ops."""
+    from cfear_radarodometry_code_public_tpu.ops import pallas_lm
 
     rng = np.random.default_rng(31)
     true_pose = np.array([1.2, 0.4, 0.03])
     cfg = _cfg("P2L", "Huber", "Combined")
-    cfg_f = cfg.replace(registration=dataclasses.replace(
-        cfg.registration, use_fused_lm=True))
     xy, intens = _world_cloud(rng)
     kf_cells = _stack_keyframes(
         [_cells_from_world(xy, intens, np.zeros(3), cfg)])
@@ -542,11 +544,27 @@ def test_fused_lm_matches_packed_xla():
     guess = jnp.asarray(true_pose + [0.3, -0.2, 0.02], jnp.float32)
     r_x = registration.register(kf_cells, kf_poses, kf_valid, src, guess,
                                 cfg=cfg)
-    r_f = registration.register(kf_cells, kf_poses, kf_valid, src, guess,
-                                cfg=cfg_f)
-    assert bool(r_x.success) and bool(r_f.success)
-    np.testing.assert_allclose(np.asarray(r_f.pose), np.asarray(r_x.pose),
-                               atol=1e-4)
+    assert bool(r_x.success)
+    # drive the kernels directly on a packed association problem
+    from cfear_radarodometry_code_public_tpu.ops.registration import (
+        _associate_world, _world_attrs, resolve_assoc_method)
+    import math as _math
+    method = resolve_assoc_method(cfg, src.valid.shape[0],
+                                  kf_cells.valid.shape[1], 1)
+    attrs = _world_attrs(kf_cells, kf_poses, cfg)
+    assoc, tgt = _associate_world(
+        attrs, src, guess, kf_valid, 2.0 * cfg.registration.assoc_radius,
+        cfg, _math.cos(_math.radians(cfg.registration.angle_outlier_deg)),
+        method)
+    packed = pallas_lm.pack_associations(
+        src.mean, tgt, assoc.weight * assoc.valid, cfg)
+    p_ref, c_ref, _, _ = pallas_lm.lm_solve_packed_xla(packed, guess, cfg)
+    for ee in (False, True):
+        p_k, c_k, _, _ = pallas_lm.lm_solve_fused(
+            packed, guess, cfg, interpret=True, early_exit=ee)
+        np.testing.assert_allclose(np.asarray(p_k), np.asarray(p_ref),
+                                   atol=1e-4, err_msg=f"early_exit={ee}")
+        np.testing.assert_allclose(float(c_k), float(c_ref), rtol=1e-3)
 
 
 def test_sparse_attrs_fused_lookup_matches_gather():
