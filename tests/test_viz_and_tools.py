@@ -59,3 +59,43 @@ def test_cost_surface_real():
     assert surf.shape == (9, 9)
     # minimum at the center (identity is the optimum for self-registration)
     assert surf[4, 4] == surf.min()
+
+
+def test_live_viz_follows_growing_tum(tmp_path):
+    """The live viewer (the RViz path/odom-marker equivalent for a
+    headless environment) must pick up newly appended TUM poses across
+    polls and re-render its PNG atomically."""
+    import math
+
+    import numpy as np
+
+    from cfear_radarodometry_code_public_tpu.eval import live_viz
+
+    tum = tmp_path / "poses.tum"
+
+    def line(t, x, y, yaw):
+        return (f"{t:.6f} {x:.6f} {y:.6f} 0.000000 0.000000 0.000000 "
+                f"{math.sin(yaw / 2):.6f} {math.cos(yaw / 2):.6f}\n")
+
+    with open(tum, "w") as f:
+        for i in range(5):
+            f.write(line(i * 0.25, i * 1.5, 0.2 * i, 0.01 * i))
+    out = str(tmp_path / "live.png")
+    res = live_viz.main(["--poses", str(tum), "--out", out])
+    assert res["n_poses"] == 5 and os.path.exists(out)
+    size1 = os.path.getsize(out)
+
+    # grow the file, incl. a partial trailing line that must be ignored
+    fol = live_viz.TumFollower(str(tum))
+    assert fol.poll() == 5
+    with open(tum, "a") as f:
+        for i in range(5, 9):
+            f.write(line(i * 0.25, i * 1.5, 0.2 * i, 0.01 * i))
+        f.write("1.0 2.0 3.0")      # incomplete record
+    assert fol.poll() == 4
+    assert len(fol.poses) == 9
+    live_viz.render_snapshot(out, fol.poses)
+    assert os.path.getsize(out) > 0 and size1 > 0
+    # parse round-trip
+    t, x, y, yaw = fol.poses[-1]
+    assert abs(x - 8 * 1.5) < 1e-6 and abs(yaw - 0.08) < 1e-6
