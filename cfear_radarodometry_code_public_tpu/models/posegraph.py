@@ -352,8 +352,20 @@ class GraphBuilder:
         for k, (i, j, t, info, kind) in enumerate(self.edges[:ee]):
             ei[k], ej[k] = i, j
             tij[k] = t
-            sinfo[k] = np.linalg.cholesky(
-                (info + info.T) / 2 + 1e-12 * np.eye(3)).T
+            s = (np.asarray(info, np.float64)
+                 + np.asarray(info, np.float64).T) / 2
+            # a degraded registration can hand over an INDEFINITE
+            # information matrix (f32 Censi-scaled inverse Hessian near a
+            # saddle — observed on dropout-heavy worlds); clip its
+            # eigenvalues to a small positive floor so the square-root
+            # information exists and the edge only constrains its
+            # well-conditioned directions (the reference's analogue is
+            # discarding non-convex sampled covariances,
+            # `odometrykeyframefuser.cpp:350-359`)
+            w, v = np.linalg.eigh(s)
+            floor = max(1e-9, 1e-9 * float(np.max(np.abs(w), initial=0.0)))
+            s = (v * np.clip(w, floor, None)) @ v.T
+            sinfo[k] = np.linalg.cholesky(s).T
             etype[k] = kind
         return PoseGraph(
             poses=jnp.asarray(poses, dtype),

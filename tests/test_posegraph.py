@@ -166,3 +166,30 @@ def test_self_constraint_rejected():
     import pytest
     with pytest.raises(ValueError, match="self-constraint"):
         gb.add_loop_edge(0, 0, np.zeros(3), np.eye(3))
+
+
+def test_to_arrays_handles_indefinite_information():
+    """A degraded registration can emit an indefinite information matrix
+    (f32 Censi-scaled inverse Hessian near a saddle); to_arrays must
+    eigenvalue-clip it instead of crashing in cholesky, and the resulting
+    sqrt-information must reproduce the clipped (PSD) matrix."""
+    from cfear_radarodometry_code_public_tpu.models import posegraph
+
+    gb = posegraph.GraphBuilder()
+    a = gb.add_node(np.zeros(3), 0.0)
+    b = gb.add_node(np.array([1.0, 0.0, 0.0]), 0.25)
+    info_bad = np.array([[4.0, 0.0, 0.0],
+                         [0.0, -2.0, 0.0],     # negative eigenvalue
+                         [0.0, 0.0, 1.0]])
+    gb.edges.append((a, b, np.array([1.0, 0.0, 0.0]), info_bad,
+                     posegraph.ODOMETRY))
+    g = gb.to_arrays()
+    s = np.asarray(g.sqrt_info[0], np.float64)
+    assert np.all(np.isfinite(s))
+    m = s.T @ s
+    w = np.linalg.eigvalsh((m + m.T) / 2)
+    assert np.all(w >= 0.0)
+    # well-conditioned directions survive the clip
+    assert abs(m[0, 0] - 4.0) < 1e-6 and abs(m[2, 2] - 1.0) < 1e-6
+    # the indefinite direction is floored near zero, not negated
+    assert 0.0 <= m[1, 1] < 1e-6

@@ -35,6 +35,11 @@ def main(argv=None):
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--max-cells", type=int, default=1024)
     ap.add_argument("--extent", type=float, default=300.0)
+    ap.add_argument("--dropout", type=float, default=0.0,
+                    help="azimuth-wedge dropout probability: degrades the "
+                         "odometry so RANDOM drift (the loop-observable "
+                         "kind) dominates the lap-coherent systematic "
+                         "drift of the clean world")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--mini-loops", action="store_true")
     ap.add_argument("--cpu", action="store_true")
@@ -90,8 +95,9 @@ def main(argv=None):
                                -s * (cur[0] - prev[0]) + c * (cur[1] - prev[1]),
                                np.angle(np.exp(1j * (cur[2] - prev[2])))])
         images[i] = synthetic.render_polar(world, gt[i], cfg, rng,
-                                           motion=motion, t=i * dt_s)
-    t0 = stage(f"render ({args.frames} frames)", t0)
+                                           motion=motion, t=i * dt_s,
+                                           dropout_prob=args.dropout)
+    t0 = stage(f"render ({args.frames} frames, dropout={args.dropout})", t0)
 
     # --- odometry ---------------------------------------------------------
     runner = odometry.OdometryRunner(cfg, chunk=args.chunk, ingest="host")
@@ -138,6 +144,29 @@ def main(argv=None):
     opt, costs = posegraph.optimize(graph, iters=args.iters)
     opt = np.asarray(opt.poses)[:n_kf]
     t0 = stage(f"optimize ({args.iters} GN iters)", t0)
+
+    # loop-residual health: the optimizer must close the loop-OBSERVABLE
+    # error even when ATE-vs-GT is dominated by lap-coherent systematic
+    # drift that no loop can see (all laps drift together)
+    from cfear_radarodometry_code_public_tpu.utils import se2 as _se2
+
+    def _loop_res(poses_arr):
+        r = []
+        for (i, j, tij, info, kind) in gb.edges:
+            if kind == posegraph.LOOP_APPEARANCE:
+                rel = np.asarray(_se2.relative(
+                    jnp.asarray(poses_arr[i], jnp.float32),
+                    jnp.asarray(poses_arr[j], jnp.float32)))
+                r.append(np.linalg.norm((rel - np.asarray(tij))[:2]))
+        return np.asarray(r) if r else np.zeros(1)
+
+    lr0 = _loop_res(traj[kf_frames])
+    lr1 = _loop_res(opt)
+    lines.append(
+        f"  loop residuals: init median {np.median(lr0):.3f} m "
+        f"(p90 {np.percentile(lr0, 90):.3f}) -> optimized median "
+        f"{np.median(lr1):.3f} m (p90 {np.percentile(lr1, 90):.3f})")
+    print(lines[-1], flush=True)
 
     # --- ATE before/after -------------------------------------------------
     gt_kf = gt[kf_frames]
