@@ -54,6 +54,43 @@ DEFAULT_LOOP_LOSS_LIMIT = 4.0
 #: across GN iterations: early iterations are near-quadratic (big basin),
 #: late iterations fully robust (outlier rejection at convergence).
 DEFAULT_GNC_START = 100.0
+#: per-edge robust-limit drift model (mirrors the loop-closure
+#: odometry-consistency gate, LoopCloserConfig.max_drift_fraction/
+#: drift_slack_m): a VERIFIED loop edge's correction is expected to be as
+#: large as the odometry drift accumulated along the chain between its
+#: nodes, so its robust limit scales with the whitened square of that
+#: allowance — the kernel rejects corrections far BEYOND the drift budget
+#: (aliasing), not corrections stiff information makes look huge. Without
+#: this, a correct bounded kernel must treat a genuine 20 m-drift closure
+#: as an outlier (measured: the 23 m circular-loop world's closure edge
+#: carries s~4e4 against a final limit of 4 — weight ~1e-8).
+DRIFT_FRACTION = 0.15
+DRIFT_SLACK_M = 5.0
+#: absolute cap on the translation allowance: the linear model grows
+#: unbounded with chain distance, and beyond a few laps almost ANY
+#: aliased match falls inside its own budget (measured on the 1400-node
+#: ring: a 240 m-wrong edge 1240 chain-m away got allowance 191 m and
+#: folded the map). A functioning odometry does not accumulate more than
+#: a few tens of meters before place recognition fires; corrections
+#: beyond the cap must earn their way in through the annealed phase.
+DRIFT_ALLOW_CAP_M = 25.0
+DRIFT_YAW_SLACK_RAD = 0.05
+DRIFT_YAW_PER_M = 0.002
+#: cap on the WHITENED squared allowance. The robust kernel's saturation
+#: bound (the total cost credit one edge can offer) scales with its
+#: limit, so an uncapped whitened allowance lets a STIFF wrong edge
+#: (huge information x in-cap metric allowance) offer enough credit to
+#: out-bid the odometry deformation cost of folding the chain (measured:
+#: poisoned-ring edge with 10x information folded the map to ATE 13).
+#: The cap bounds the saturation credit at 3*cap/2 = 3000 whitened
+#: units: far above the odometry deformation cost of a GENUINE correction
+#: (redistributing true drift along the chain costs ~the noise floor,
+#: tens of units) and below the fold cost of satisfying a wrong edge
+#: even on a SOFT chain (measured on the info=100 noisy ring: fold cost
+#: ~6e3; a 2e4 cap made the fold profitable and ATE exploded to 13).
+#: In-envelope edges beyond the cap pull with reduced weight and simply
+#: take more iterations.
+S_ALLOW_CAP = 2.0e3
 
 
 class PoseGraph(NamedTuple):
@@ -67,6 +104,10 @@ class PoseGraph(NamedTuple):
     sqrt_info: jax.Array   # (E, 3, 3) square-root information
     edge_type: jax.Array   # (E,) int32
     edge_valid: jax.Array  # (E,) bool
+    #: (E,) f32 per-edge robust-limit multiplier (1 for odometry edges;
+    #: for loop edges max(1, s_allowance/limit) with s_allowance the
+    #: whitened square of the expected-drift allowance — see to_arrays)
+    loop_scale: jax.Array = None
 
 
 def edge_residuals(poses, graph: PoseGraph,
@@ -89,7 +130,8 @@ def edge_residuals(poses, graph: PoseGraph,
     active = graph.edge_valid & (graph.edge_type != CANDIDATE)
     if loop_loss != "None":
         s = jnp.sum(jax.lax.stop_gradient(r) ** 2, -1)
-        _, drho = losses.rho(s, loop_loss, loop_loss_limit)
+        _, drho = losses.rho(s, loop_loss,
+                             loop_loss_limit * _edge_scale(graph))
         is_loop = ((graph.edge_type == LOOP_APPEARANCE)
                    | (graph.edge_type == MINI_LOOP))
         w = jnp.where(is_loop, jnp.sqrt(jnp.maximum(drho, 0.0)), 1.0)
@@ -97,14 +139,113 @@ def edge_residuals(poses, graph: PoseGraph,
     return jnp.where(active[:, None], r, 0.0)
 
 
+def _edge_scale(graph: PoseGraph):
+    # per-edge robust-limit multiplier (1.0 when the graph carries none)
+    if graph.loop_scale is None:
+        return 1.0
+    return graph.loop_scale
+
+
+def robust_cost(poses, graph: PoseGraph,
+                loop_loss: str = DEFAULT_LOOP_LOSS,
+                loop_loss_limit: float = DEFAULT_LOOP_LOSS_LIMIT):
+    """The TRUE robust objective: sum of 0.5*s for odometry edges and
+    0.5*rho(s) for loop edges (s = squared whitened residual).
+
+    This — not the IRLS-WEIGHTED residual norm — is what step acceptance
+    must compare: a redescending kernel's weighted residual w(s)^2 * s
+    DECREASES as a loop residual grows past the limit, so accepting steps
+    on it lets the optimizer 'improve' by throwing genuine loops to
+    infinity (measured: a 1400-node solve walked from ATE 4.5 to 73 m
+    through strictly 'decreasing' weighted costs)."""
+    pi = poses[graph.edge_i]
+    pj = poses[graph.edge_j]
+    rel = se2.relative(pi, pj)
+    d = rel - graph.t_ij
+    d = d.at[:, 2].set(se2.normalize_angle(d[:, 2]))
+    r = jnp.einsum("eab,eb->ea", graph.sqrt_info, d)
+    s = jnp.sum(r * r, -1)
+    active = graph.edge_valid & (graph.edge_type != CANDIDATE)
+    if loop_loss != "None":
+        rho, _ = losses.rho(s, loop_loss,
+                            loop_loss_limit * _edge_scale(graph))
+        is_loop = ((graph.edge_type == LOOP_APPEARANCE)
+                   | (graph.edge_type == MINI_LOOP))
+        cost_e = jnp.where(is_loop, rho, s)
+    else:
+        cost_e = s
+    return 0.5 * jnp.sum(jnp.where(active, cost_e, 0.0))
+
+
 def _gauge_fix(x):
     return x.at[0].set(0.0)
+
+
+def hessian_diag_blocks(poses, graph: PoseGraph,
+                        loop_loss: str = DEFAULT_LOOP_LOSS,
+                        loop_loss_limit: float = DEFAULT_LOOP_LOSS_LIMIT,
+                        num_nodes: int | None = None):
+    """(N, 3, 3) diagonal blocks of the GN Hessian J^T J.
+
+    The block-Jacobi PRECONDITIONER of the matrix-free CG solve: plain CG
+    on a pose chain needs O(N) iterations for the long-wavelength modes
+    (measured at 1400 nodes: cg=200 leaves the loop corrections
+    essentially unapplied, ATE 4.59 vs 1.17 at cg=3000), while
+    block-Jacobi PCG converges in O(100) regardless of N. Exact per-edge
+    3x3 jacobians via vmapped jacfwd, weighted by the SAME IRLS robust
+    weights as `edge_residuals`, accumulated per node with two
+    segment-sums."""
+    n = num_nodes or poses.shape[0]
+    pi = poses[graph.edge_i]
+    pj = poses[graph.edge_j]
+
+    def res_e(a, b, tij, sqrt_i):
+        rel = se2.relative(a, b)
+        d = rel - tij
+        d = d.at[2].set(se2.normalize_angle(d[2]))
+        return sqrt_i @ d
+
+    ji = jax.vmap(jax.jacfwd(res_e, argnums=0))(
+        pi, pj, graph.t_ij, graph.sqrt_info)          # (E, 3, 3)
+    jj = jax.vmap(jax.jacfwd(res_e, argnums=1))(
+        pi, pj, graph.t_ij, graph.sqrt_info)
+    r = jax.vmap(res_e)(pi, pj, graph.t_ij, graph.sqrt_info)
+    active = graph.edge_valid & (graph.edge_type != CANDIDATE)
+    w = active.astype(poses.dtype)
+    if loop_loss != "None":
+        s = jnp.sum(r ** 2, -1)
+        _, drho = losses.rho(s, loop_loss,
+                             loop_loss_limit * _edge_scale(graph))
+        is_loop = ((graph.edge_type == LOOP_APPEARANCE)
+                   | (graph.edge_type == MINI_LOOP))
+        w = w * jnp.where(is_loop, jnp.maximum(drho, 0.0), 1.0)
+    bi = (jnp.einsum("eab,eac->ebc", ji, ji)
+          * w[:, None, None]).reshape(-1, 9)
+    bj = (jnp.einsum("eab,eac->ebc", jj, jj)
+          * w[:, None, None]).reshape(-1, 9)
+    blocks = jax.ops.segment_sum(bi, graph.edge_i, num_segments=n) \
+        + jax.ops.segment_sum(bj, graph.edge_j, num_segments=n)
+    return blocks.reshape(n, 3, 3)
+
+
+def _block_jacobi_apply(blocks, damping: float):
+    """Returns M^{-1}x for M = blockdiag(H) + damping I (gauge node 0 =
+    identity so the preconditioner matches the gauge-fixed operator)."""
+    m = blocks + damping * jnp.eye(3, dtype=blocks.dtype)
+    m = m.at[0].set(jnp.eye(3, dtype=blocks.dtype))
+    minv = jnp.linalg.inv(m)
+
+    def apply(x):
+        return jnp.einsum("nab,nb->na", minv, x)
+
+    return apply
 
 
 def gn_step(poses, graph: PoseGraph, cg_iters: int = 50, damping: float = 1e-6,
             loop_loss: str = DEFAULT_LOOP_LOSS,
             loop_loss_limit: float = DEFAULT_LOOP_LOSS_LIMIT):
-    """One matrix-free Gauss-Newton step: solve (J^T J + lam I) dx = -J^T r."""
+    """One Gauss-Newton step: solve (J^T J + lam I) dx = -J^T r by
+    block-Jacobi preconditioned matrix-free CG."""
 
     def res_fn(p):
         return edge_residuals(p, graph, loop_loss, loop_loss_limit)
@@ -119,9 +260,32 @@ def gn_step(poses, graph: PoseGraph, cg_iters: int = 50, damping: float = 1e-6,
         (h,) = vjp(jv)
         return _gauge_fix(h) + damping * x
 
-    dx = _cg(hvp, -grad, cg_iters)
-    new_poses = poses + _gauge_fix(dx)
+    blocks = hessian_diag_blocks(poses, graph, loop_loss, loop_loss_limit)
+    precond = _block_jacobi_apply(blocks, damping)
+    dx = _gauge_fix(_pcg(hvp, -grad, precond, cg_iters))
     cost = 0.5 * jnp.sum(r * r)
+
+    # damped acceptance: a FULL Gauss-Newton step under fast-shifting IRLS
+    # weights (the GNC anneal) can overshoot and diverge (measured: more-
+    # converged CG made a 1400-node solve WORSE). Evaluate a tiny
+    # backtracking ladder {1, 1/2, 1/4, 0} on the TRUE robust cost (see
+    # `robust_cost` — NOT the weighted residual norm, which redescending
+    # kernels let decrease to 'reward' exploding loop residuals) and keep
+    # the best; the zero step guarantees per-iteration monotonicity.
+    def cost_at(p2):
+        return robust_cost(p2, graph, loop_loss, loop_loss_limit)
+
+    # the GN direction is a DESCENT direction for the true robust cost
+    # (the IRLS-weighted gradient equals the robust gradient), so small
+    # enough rungs always progress — without the sub-0.25 rungs a large
+    # loop correction (23 m + rotation) overshoots at every ladder step
+    # and the solve freezes on the zero candidate
+    ladder = (1.0, 0.5, 0.25, 0.1, 0.04, 0.01)
+    alphas = jnp.asarray(ladder + (0.0,), poses.dtype)
+    costs = jnp.stack([cost_at(poses + a * dx) for a in ladder]
+                      + [cost_at(poses)])
+    best = jnp.argmin(costs)
+    new_poses = poses + alphas[best] * dx
     return new_poses, cost, jnp.linalg.norm(grad)
 
 
@@ -146,14 +310,80 @@ def _cg(matvec, b, iters: int):
     return x
 
 
+def _pcg(matvec, b, precond, iters: int):
+    """Preconditioned conjugate gradients (fixed trip count)."""
+
+    def body(_, state):
+        x, r, p, rz = state
+        Ap = matvec(p)
+        denom = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(denom > 0, denom, 1.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) > 0, rz, 1.0)
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x0 = jnp.zeros_like(b)
+    z0 = precond(b)
+    state = (x0, b, z0, jnp.sum(b * z0))
+    x, *_ = jax.lax.fori_loop(0, iters, body, state)
+    return x
+
+
 def gnc_limit(k, iters: int, limit: float,
-              gnc_start: float = DEFAULT_GNC_START):
+              gnc_start=DEFAULT_GNC_START, anneal_len: int = 16):
     """Annealed robust-kernel limit at GN iteration k (traced-safe):
-    geometric from limit*gnc_start (k=0) to limit (k=iters-1)."""
-    if iters <= 1 or gnc_start <= 1.0:
+    geometric from limit*gnc_start (k=0) down to limit over the first
+    min(iters, anneal_len) iterations, then HELD at limit.
+
+    The hold matters: while the limit changes, per-iteration monotone
+    acceptance is monotone in a MOVING objective, and long schedules let
+    the solve walk to the odometry-only minimum through strictly
+    'improving' steps (measured: a 1400-node solve at 15 iters converged
+    to ATE 1.8 but at 40 iters walked to 32 m). Capping the anneal bounds
+    that risk window; every post-anneal iteration optimizes the FIXED
+    final objective, where the zero-step ladder candidate guarantees real
+    monotonicity. `gnc_start` may be a traced scalar (adaptive start).
+    At most HALF the iterations anneal, so every run ends with a
+    fixed-kernel recovery phase — an outlier edge that the (possibly
+    contaminated) adaptive start lets fold the map early is rejected at
+    the final limit and the fold undone (measured on the poisoned-ring
+    test: 15 all-annealing iterations end at ATE 6.1; 7 annealing + 8
+    recovery iterations reconverge to the clean-graph 0.29)."""
+    n_anneal = max(2, min(iters // 2, anneal_len))
+    if n_anneal <= 1:
         return jnp.asarray(limit, jnp.float32)
-    frac = 1.0 - k.astype(jnp.float32) / (iters - 1)
-    return limit * gnc_start ** frac
+    kk = jnp.minimum(k.astype(jnp.float32), float(n_anneal - 1))
+    frac = 1.0 - kk / (n_anneal - 1)
+    start = jnp.maximum(jnp.asarray(gnc_start, jnp.float32), 1.0)
+    return limit * start ** frac
+
+
+def adaptive_gnc_start(poses, graph: PoseGraph, loop_loss_limit: float,
+                       gnc_start: float = DEFAULT_GNC_START):
+    """Data-dependent graduated-non-convexity start.
+
+    The anneal must BEGIN above the squared whitened residuals of the
+    GENUINE loop edges, or the first GN iterations already crush their
+    IRLS weights and the optimizer never applies the loop corrections
+    (measured at 1400 nodes with stiff ~1e4 information: initial whitened
+    loop residuals^2 ~ 1.6e4 vs the static start 4*100 = 400 -> DCS
+    weight ~0.002 from iteration 0, ATE unchanged). Returns
+    max(gnc_start, 2 * q90(s_loop) / limit) with s_loop the initial
+    whitened squared loop residuals — so the first iteration is
+    near-quadratic for >=90% of loop edges while true outliers (aliased
+    matches, typically orders of magnitude larger) still anneal out."""
+    r0 = edge_residuals(poses, graph, loop_loss="None")
+    s0 = jnp.sum(r0 ** 2, -1) / _edge_scale(graph)   # limit-normalized
+    is_loop = ((graph.edge_type == LOOP_APPEARANCE)
+               | (graph.edge_type == MINI_LOOP)) & graph.edge_valid
+    q90 = jnp.nanquantile(jnp.where(is_loop, s0, jnp.nan), 0.9)
+    start = jnp.where(jnp.isnan(q90), gnc_start,
+                      jnp.maximum(gnc_start, 2.0 * q90 / loop_loss_limit))
+    return start.astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "cg_iters",
@@ -164,14 +394,34 @@ def optimize(graph: PoseGraph, iters: int = 10, cg_iters: int = 50,
              loop_loss_limit: float = DEFAULT_LOOP_LOSS_LIMIT,
              gnc_start: float = DEFAULT_GNC_START):
     """Gauss-Newton pose-graph optimization (single device) with graduated
-    non-convexity on the loop-edge robust kernel (see `DEFAULT_GNC_START`)."""
+    non-convexity on the loop-edge robust kernel (see `DEFAULT_GNC_START`
+    and `adaptive_gnc_start` — the anneal start adapts to the initial
+    loop-residual scale so stiff information matrices don't freeze the
+    loops out), solved by block-Jacobi preconditioned matrix-free CG."""
+    # with per-edge drift-scaled limits (loop_scale) the genuine edges are
+    # in-kernel at the FINAL limit by construction, so only a MILD anneal
+    # is wanted (a big start would re-admit outliers the scales exclude);
+    # the residual-quantile adaptive start is for scale-less graphs only
+    if loop_loss == "None":
+        start = jnp.asarray(gnc_start, jnp.float32)
+    elif graph.loop_scale is not None:
+        # NO anneal: the per-edge limits already admit every in-envelope
+        # correction at full weight from iteration 0, and any anneal
+        # inflation re-admits the out-of-envelope outliers the scales
+        # exclude (measured: start=10 folded the poisoned ring to ATE 14
+        # in two iterations and the recovery oscillated; start=1 keeps
+        # the objective FIXED so the ladder's monotonicity is global)
+        start = jnp.asarray(1.0, jnp.float32)
+    else:
+        start = adaptive_gnc_start(graph.poses, graph, loop_loss_limit,
+                                   gnc_start)
 
     def body(k, carry):
         poses, _ = carry
         poses, cost, _ = gn_step(poses, graph, cg_iters,
                                  loop_loss=loop_loss,
                                  loop_loss_limit=gnc_limit(
-                                     k, iters, loop_loss_limit, gnc_start))
+                                     k, iters, loop_loss_limit, start))
         return poses, cost
 
     poses, cost = jax.lax.fori_loop(
@@ -349,6 +599,8 @@ class GraphBuilder:
         tij = np.zeros((ee, 3))
         sinfo = np.zeros((ee, 3, 3))
         etype = np.zeros(ee, np.int32)
+        lscale = np.ones(ee, np.float32)
+        cum = self.chain_distances() if n else np.zeros(0)
         for k, (i, j, t, info, kind) in enumerate(self.edges[:ee]):
             ei[k], ej[k] = i, j
             tij[k] = t
@@ -367,6 +619,22 @@ class GraphBuilder:
             s = (v * np.clip(w, floor, None)) @ v.T
             sinfo[k] = np.linalg.cholesky(s).T
             etype[k] = kind
+            if kind in (LOOP_APPEARANCE, MINI_LOOP):
+                # per-edge robust-limit scale from the expected-odometry-
+                # drift allowance between the nodes (see DRIFT_* above):
+                # a verified closure correcting <= the drift budget stays
+                # fully in-kernel at the FINAL annealed limit; only
+                # corrections far beyond it (aliasing scale) redescend
+                d_chain = abs(cum[i] - cum[j])
+                allow_t = min(DRIFT_FRACTION * d_chain + DRIFT_SLACK_M,
+                              DRIFT_ALLOW_CAP_M)
+                allow = np.array([
+                    allow_t, allow_t,
+                    min(DRIFT_YAW_SLACK_RAD + DRIFT_YAW_PER_M * d_chain,
+                        0.35)])
+                s_allow = min(float(np.sum((sinfo[k] @ allow) ** 2)),
+                              S_ALLOW_CAP)
+                lscale[k] = max(1.0, s_allow / DEFAULT_LOOP_LOSS_LIMIT)
         return PoseGraph(
             poses=jnp.asarray(poses, dtype),
             node_valid=jnp.asarray(np.arange(nn) < n),
@@ -375,6 +643,7 @@ class GraphBuilder:
             sqrt_info=jnp.asarray(sinfo, dtype),
             edge_type=jnp.asarray(etype),
             edge_valid=jnp.asarray(np.arange(ee) < e),
+            loop_scale=jnp.asarray(lscale),
         )
 
     def save(self, path: str) -> None:

@@ -656,3 +656,28 @@ def test_sparse_unrolled_kernel_matches_sparse():
                                   interpret=True, ts=ts)
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_dcs_rho_is_consistent_antiderivative():
+    """r5 regression: DCS's (rho, drho) must satisfy rho' = drho with rho
+    MONOTONE non-decreasing and bounded (the former rho = w*s peaked at
+    s=a and DECREASED beyond — any cost comparison built on it rewarded
+    exploding outliers, which silently broke pose-graph step acceptance)."""
+    from cfear_radarodometry_code_public_tpu.ops import losses
+
+    a = 4.0
+    s = jnp.linspace(0.0, 400.0, 4001)
+    rho, drho = losses.rho(s, "DCS", a)
+    rho = np.asarray(rho)
+    drho = np.asarray(drho)
+    # monotone, bounded by 3a, quadratic region exact
+    assert np.all(np.diff(rho) >= -1e-6)
+    assert rho[-1] <= 3.0 * a + 1e-6
+    np.testing.assert_allclose(rho[s <= a], np.asarray(s)[s <= a],
+                               atol=1e-5)
+    # drho equals the numeric derivative of rho
+    num = np.diff(rho) / float(s[1] - s[0])
+    mid = 0.5 * (drho[1:] + drho[:-1])
+    np.testing.assert_allclose(num, mid, atol=2e-3)
+    # weight redescends toward 0
+    assert drho[-1] < 0.05

@@ -40,7 +40,11 @@ def main(argv=None):
                          "odometry so RANDOM drift (the loop-observable "
                          "kind) dominates the lap-coherent systematic "
                          "drift of the clean world")
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=40)
+    ap.add_argument("--cg-iters", type=int, default=400,
+                    help="PCG iterations per GN step; ~400 needed at "
+                         ">=1000 nodes even with the block-Jacobi "
+                         "preconditioner (long-wavelength modes)")
     ap.add_argument("--mini-loops", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="eval_results/SLAM_SCALE_tpu.txt")
@@ -141,9 +145,10 @@ def main(argv=None):
 
     graph = gb.to_arrays()
     t0 = stage("to_arrays", t0)
-    opt, costs = posegraph.optimize(graph, iters=args.iters)
+    opt, costs = posegraph.optimize(graph, iters=args.iters,
+                                    cg_iters=args.cg_iters)
     opt = np.asarray(opt.poses)[:n_kf]
-    t0 = stage(f"optimize ({args.iters} GN iters)", t0)
+    t0 = stage(f"optimize ({args.iters} GN x {args.cg_iters} PCG)", t0)
 
     # loop-residual health: the optimizer must close the loop-OBSERVABLE
     # error even when ATE-vs-GT is dominated by lap-coherent systematic
