@@ -26,14 +26,24 @@ operands on the LANE axis waste 16x; on the sublane axis they are free).
 Cell tiles are x-major slabs of the voxel grid (rank = cumsum in vid
 order), so a (cell tile, point tile) pair whose x-ranges are disjoint
 after dilating by (res + leaf) cannot receive any contribution — the
-SMEM-prefetched slab test skips it with `pl.when` (a real jump; measured
-~27% executed pairs at bench occupancy).
+SMEM-prefetched slab test skips it with `pl.when`. MEASURED CAVEAT: with
+azimuth-major host-compact points a 512-point tile spans ~13 full radar
+rays (~315 m of x), so at bench occupancy the executed-pair fraction is
+1.0 — the skip never fires without a device-side spatial re-sort of the
+points (~0.4 ms argsort + pack gather), which is part of why this kernel
+loses to the XLA scatter (see eval_results/FEATURE_ROOFLINE_r5.txt).
 
 Exactness: OH entries are 0/1 (exact in any dtype); cnt columns are
 exact integer sums in f32; weighted columns accumulate in f32 with
 HIGHEST-precision dots — equal to the XLA scatter path up to f32
 summation order (equivalence-tested at tolerance; the integer gates
 nsamples/occupancy are bit-equal).
+
+STATUS: measured NEGATIVE RESULT on this TPU — 7.5 ms (per-offset dots)
+/ 13.7 ms (fused K-axis dot) vs 2.70 ms for the XLA scatter, in-scan at
+B=8 (eval_results/FEATURE_ROOFLINE_r5.txt has the full analysis). Kept
+as the equivalence-tested `feature.backend="pallas"` ablation; "auto"
+picks the XLA scatter.
 
 Runs compiled on TPU; interpreter mode on CPU (tests).
 """

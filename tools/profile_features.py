@@ -1,10 +1,11 @@
 """Micro-profile of the batched feature stage (compute_cells_batched).
 
 Times each internal phase of the batched oriented-surface-point extraction
-in isolation on the current backend, to direct optimization: the stage costs
-~5.4 ms at batch 8 on TPU v5e (the largest single item in the batched step)
-and scales WORSE than serial (11x the single-lane cost at x8), so something
-super-linear hides inside.
+in isolation on the current backend. CAVEAT (r5): these standalone numbers
+include 1-3 ms of remote-tunnel dispatch cost per probe — for true device
+time use tools/profile_scan_stages.py (in-scan, one dispatch), which
+supersedes this tool's absolute numbers (kept for phase RATIOS and CPU
+runs).
 
 Phases:
   budget   : point_budget argsort + take (row compaction)
