@@ -107,3 +107,43 @@ def test_pack_follower_ignores_partial_records(tmp_path):
     assert len(frames) == 1
     np.testing.assert_array_equal(frames[0], img)
     assert fl.read_new() is None
+
+
+def test_live_viz_follows_daemon_output(tmp_path):
+    """Integration of the live surface: a recorder thread grows the radar
+    pack, the online daemon follows it appending TUM poses, and the live
+    viewer (`eval/live_viz.py`, the RViz-follower equivalent) picks the
+    poses up incrementally and renders snapshots — the full reference
+    online topology (radar topic -> odometry node -> RViz) as files."""
+    from cfear_radarodometry_code_public_tpu.eval import live_viz
+
+    cfg = _cfg()
+    images, _ = synthetic.make_sequence(seed=13, n_frames=14, cfg=cfg,
+                                        speed=6.0)
+    pack = str(tmp_path / "run.radarpack")
+    tum = str(tmp_path / "poses.tum")
+    png = str(tmp_path / "live.png")
+    a, r = images.shape[1], images.shape[2]
+    _write_header(pack, a, r)
+    for i in range(6):
+        _append_frame(pack, i * 0.25, images[i])
+
+    def recorder():
+        for i in range(6, len(images)):
+            time.sleep(0.15)
+            _append_frame(pack, i * 0.25, images[i])
+
+    th = threading.Thread(target=recorder, daemon=True)
+    th.start()
+    # drive the daemon in-process (the CLI does not expose the shrunken
+    # test config; OnlineOdometry is the daemon's engine)
+    daemon = OnlineOdometry(cfg, pack, tum, chunk=4, ingest="host")
+    daemon.run(follow=True, idle_timeout_s=3.0)
+    th.join()
+
+    fol = live_viz.TumFollower(tum)
+    n1 = fol.poll()
+    assert n1 == len(images), n1
+    live_viz.render_snapshot(png, fol.poses)
+    import os as _os
+    assert _os.path.getsize(png) > 0
