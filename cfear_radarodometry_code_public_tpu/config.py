@@ -99,16 +99,18 @@ class FeatureConfig:
     # voxel scatter + 9-offset roll combine; "pallas" = fused one-hot MXU
     # contraction over compact (cumsum-ranked) cells with x-slab tile
     # skipping (ops/pallas_features.py — replaces the scatter, the roll
-    # combine AND the dense-grid compaction argsort); "auto" = pallas on
-    # TPU when the shapes tile (point_budget % 512 == 0), xla otherwise.
-    # Results are equal up to f32 summation order (integer gates
-    # bit-equal); equivalence-tested in tests/test_features.py.
+    # combine AND the dense-grid compaction argsort); "auto" = xla ALWAYS
+    # (measured negative result, eval_results/FEATURE_ROOFLINE_r5.txt:
+    # the fused kernel loses 7.5/13.7 ms vs 2.70 in-scan at B=8 — the
+    # kernel remains an explicitly selectable ablation). Results are
+    # equal up to f32 summation order (integer gates bit-equal);
+    # equivalence-tested in tests/test_features.py.
     backend: str = "auto"
     # compact-cell budget of the pallas backend (multiple of 128;
-    # 0 = auto: max(2048, 2*max_cells)). Occupied voxels beyond this
-    # budget (vid order) are dropped — bench/longrun occupancy is
-    # ~930-2000, so the auto budget leaves >2x headroom; the xla backend
-    # has no such cap.
+    # 0 = auto: max(4608, 2*max_cells) rounded up to 128 — must cover
+    # OCCUPIED VOXELS (~4.5k at bench scale), not the ~5x-smaller
+    # post-gate cell count). Occupied voxels beyond this budget (vid
+    # order) are dropped; the xla backend has no such cap.
     pre_cells: int = 0
     # order kept cells by Morton code of their voxel index (valid cells
     # first). The cell map is a SET — ordering changes no semantics (only

@@ -176,11 +176,17 @@ class LoopCloser:
             outs["num_assoc"].append(np.asarray(res.num_assoc)[:n])
         return {k: np.concatenate(v) for k, v in outs.items()}
 
-    def close_from_graph(self, gb: posegraph.GraphBuilder
-                         ) -> List[Tuple[int, int]]:
+    def close_from_graph(self, gb: posegraph.GraphBuilder,
+                         precomputed=None) -> List[Tuple[int, int]]:
         """Detect + verify loops using ONLY the graph's stored scan
         payloads (the `.sgh` content); append constraints to `gb`.
-        Returns the accepted (i, j) node pairs."""
+        Returns the accepted (i, j) node pairs.
+
+        `precomputed` optionally supplies `(stacked, rk, sh)` — the
+        stacked cell maps and the `_desc_fn` descriptor output — so a
+        caller that already ran the payload stack / descriptor pass
+        (e.g. to time the stages separately, `tools/run_slam_scale.py`)
+        does not pay for them twice."""
         lc = self.lc
         n = len(gb.poses)
         if n == 0:
@@ -189,11 +195,14 @@ class LoopCloser:
             raise ValueError(
                 "graph nodes lack scan payloads; build the graph with "
                 "images/cfg or call add_scan_payload per node")
-        m = self.cfg.feature.max_cells
-        stacked = jax.tree.map(
-            lambda *xs: jnp.stack(xs),
-            *[posegraph.payload_to_cellmap(s, m) for s in gb.scans])
-        rk, sh = jax.tree.map(np.asarray, self._desc_fn(stacked))
+        if precomputed is None:
+            m = self.cfg.feature.max_cells
+            stacked = jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[posegraph.payload_to_cellmap(s, m) for s in gb.scans])
+            rk, sh = jax.tree.map(np.asarray, self._desc_fn(stacked))
+        else:
+            stacked, rk, sh = precomputed
 
         # proposal: one K x K cosine-distance matrix. Zero-norm
         # (degenerate, empty-scan) ring keys default to similarity 0 ->

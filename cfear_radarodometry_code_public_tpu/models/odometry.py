@@ -242,17 +242,23 @@ def _fuse_frame(state: OdometryState, cells: CellMap, cfg: CFEARConfig
                 state.kf_poses[-1], cfg=cfg_rev)
             d = se2.relative(state.kf_poses[-1], res_r.pose)
             return (jnp.linalg.norm(d[:2]),
-                    jnp.abs(se2.normalize_angle(d[2])))
+                    jnp.abs(se2.normalize_angle(d[2])), res_r.success)
 
         def _skip(_):
             z = jnp.asarray(0.0, t_cur.dtype)
-            return z, z
+            return z, z, jnp.asarray(True)
 
         checked = ((state.frame_nr % odo.health_check_every) == 0) \
             & state.kf_valid[-1]
-        h_dist, h_rot = jax.lax.cond(checked, _rev_check, _skip, None)
+        h_dist, h_rot, rev_ok = jax.lax.cond(checked, _rev_check, _skip,
+                                             None)
+        # a failed/collapsed reverse solve echoes its guess (d == 0), so
+        # the discrepancy thresholds alone would report exactly the
+        # most-degraded frames healthy — a checked frame is healthy only
+        # if the reverse solve SUCCEEDED and agreed
         healthy = (~checked) | (
-            (h_dist <= odo.health_max_dist)
+            rev_ok
+            & (h_dist <= odo.health_max_dist)
             & (h_rot <= math.radians(odo.health_max_rot_deg)))
     else:
         checked = jnp.asarray(False)

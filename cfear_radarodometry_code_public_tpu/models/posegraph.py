@@ -353,7 +353,11 @@ def gnc_limit(k, iters: int, limit: float,
     the final limit and the fold undone (measured on the poisoned-ring
     test: 15 all-annealing iterations end at ATE 6.1; 7 annealing + 8
     recovery iterations reconverge to the clean-graph 0.29)."""
-    n_anneal = max(2, min(iters // 2, anneal_len))
+    # fewer than 4 iterations cannot fit an anneal + recovery split:
+    # run every iteration at the FIXED final limit (the old behavior for
+    # iters<=1; forcing n_anneal=2 would spend a single-iteration solve
+    # entirely at the inflated start limit)
+    n_anneal = min(iters // 2, anneal_len)
     if n_anneal <= 1:
         return jnp.asarray(limit, jnp.float32)
     kk = jnp.minimum(k.astype(jnp.float32), float(n_anneal - 1))

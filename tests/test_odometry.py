@@ -248,3 +248,32 @@ def test_reverse_registration_health_signal():
         r3 = odometry.OdometryRunner.resume(cfg, ck, chunk=8)
         out3 = r3.frame_outputs()
         np.testing.assert_array_equal(out3.health_checked, checked)
+
+
+def test_collapsed_reverse_solve_is_unhealthy():
+    """A failed/collapsed reverse solve must flag the frame UNHEALTHY.
+
+    A collapsed solve (zero associations) echoes its guess, so the
+    forward/backward discrepancy is exactly zero — the discrepancy
+    thresholds alone would report precisely the most-degraded frames
+    healthy. The health signal must consult the reverse solve's success
+    flag: here the sensor goes blind (all-zero frames, empty scans), the
+    reverse registration finds no targets, and every checked blind frame
+    must come back unhealthy."""
+    cfg = _cfg(health_check_every=1)
+    images, _ = synthetic.make_sequence(seed=3, n_frames=16, cfg=cfg)
+    images = np.array(images)
+    images[8:] = 0                     # sensor goes blind mid-sequence
+    runner = odometry.OdometryRunner(cfg, chunk=8)
+    runner.process(images)
+    out = runner.frame_outputs()
+    checked = np.asarray(out.health_checked)
+    healthy = np.asarray(out.healthy)
+    # nominal prefix: checks fire and pass
+    assert checked[1:8].all() and healthy[1:8].all()
+    # blind suffix: the reverse solve collapses (d == 0) — the success
+    # flag, not the thresholds, must flag these frames
+    blind_checked = checked[8:]
+    assert blind_checked.any()
+    assert not healthy[8:][blind_checked].any(), (
+        np.asarray(out.health_dist)[8:], healthy[8:])

@@ -119,7 +119,10 @@ def main():
 
     # ingest
     def body_ingest(c, _):
-        cc = comp._replace(intensity=comp.intensity)
+        # the carry-dependent epsilon keeps the body loop-VARIANT — on a
+        # constant input XLA would hoist the whole ingest out of the scan
+        # and the probe would measure ~0
+        cc = comp._replace(intensity=comp.intensity + c * 0.0)
         p = jax.vmap(lambda x: filtering.points_from_compact(x, cfg))(cc)
         return c + eps * jnp.sum(p.xy[:, :8, 0]) , None
     probe("ingest", scan_time(body_ingest, jnp.float32(0.0)))
@@ -257,7 +260,7 @@ def main():
           f"{d['features'] - d['feat_nos2']:.3f} ms")
     print(f"stage sum (ingest+features+register): "
           f"{d['ingest'] + d['features'] + d['register']:.3f} ms "
-          f"vs step {d.get("step", float("nan")):.3f} ms")
+          f"vs step {d.get('step', float('nan')):.3f} ms")
     print(f"per-chip steady state at B={b}: "
           f"{1000.0 * b / d['step']:.0f} frames/s")
 

@@ -131,7 +131,7 @@ def main(argv=None):
     rk, sh = jax.tree.map(np.asarray, closer._desc_fn(stacked))
     t0 = stage("descriptor pass", t0)
 
-    accepted = closer.close_from_graph(gb)
+    accepted = closer.close_from_graph(gb, precomputed=(stacked, rk, sh))
     n_loops = len(accepted)
     n_cand = gb.n_constraints(posegraph.CANDIDATE)
     t0 = stage(f"proposal+verify+accept", t0)
@@ -175,7 +175,7 @@ def main(argv=None):
 
     # --- ATE before/after -------------------------------------------------
     gt_kf = gt[kf_frames]
-    before = np.stack(gb.poses)[:n_kf] if False else traj[kf_frames]
+    before = traj[kf_frames]
 
     def ate(est):
         # keyframe ATE after a rigid (Umeyama-style, yaw-only) alignment
