@@ -256,3 +256,40 @@ def test_chain_distances_oxford_scale():
     for a, b in pairs[:20]:
         assert abs(gb.relative_distance(int(a), int(b))
                    - np.abs(cum[a] - cum[b])) < 1e-9
+
+
+def test_close_from_graph_precomputed_descriptors_identical():
+    """`close_from_graph(gb, precomputed=...)` (the stage-timing path of
+    tools/run_slam_scale.py) must accept the same loops and append the
+    same constraints as the self-computing call."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _cfg()
+    n = 40
+    images, _ = synthetic.make_sequence(seed=51, n_frames=n, cfg=cfg,
+                                        speed=5.0, trajectory="loop")
+    runner = odometry.OdometryRunner(cfg, chunk=8)
+    runner.process(images)
+    traj = runner.trajectory()
+    out = runner.frame_outputs()
+
+    gb_a = posegraph.build_graph_from_odometry(out, traj, images=images,
+                                               cfg=cfg)
+    gb_b = posegraph.build_graph_from_odometry(out, traj, images=images,
+                                               cfg=cfg)
+    closer = loopclosure.LoopCloser(cfg)
+    acc_a = closer.close_from_graph(gb_a)
+
+    m = cfg.feature.max_cells
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[posegraph.payload_to_cellmap(s, m) for s in gb_b.scans])
+    rk, sh = jax.tree.map(np.asarray, closer._desc_fn(stacked))
+    acc_b = closer.close_from_graph(gb_b, precomputed=(stacked, rk, sh))
+
+    assert acc_a == acc_b
+    assert len(gb_a.edges) == len(gb_b.edges)
+    for (ea, eb) in zip(gb_a.edges, gb_b.edges):
+        assert ea[0] == eb[0] and ea[1] == eb[1] and ea[4] == eb[4]
+        np.testing.assert_allclose(ea[2], eb[2], atol=1e-6)

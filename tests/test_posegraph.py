@@ -282,3 +282,20 @@ def test_distributed_pgo_at_slam_scale():
     # (equally valid) step sequences over 40 iterations, so element-wise
     # pose equality is not the invariant — matching ATE is
     assert abs(ate_d - ate_s) < 0.1, (ate_d, ate_s)
+
+
+def test_gnc_limit_small_iters_run_at_final_limit():
+    """Solves with too few iterations for an anneal + recovery split
+    (iters < 4) must run every iteration at the FIXED final robust limit:
+    forcing a 2-iteration anneal would spend a single-iteration solve
+    entirely at the inflated start limit (100x by default)."""
+    limit = 0.25
+    for iters in (1, 2, 3):
+        v = float(posegraph.gnc_limit(jnp.asarray(0), iters, limit))
+        assert v == np.float32(limit), (iters, v)
+    # with room for the split, iteration 0 IS inflated and the
+    # post-anneal iterations hold the final limit
+    v0 = float(posegraph.gnc_limit(jnp.asarray(0), 8, limit))
+    v_last = float(posegraph.gnc_limit(jnp.asarray(7), 8, limit))
+    assert v0 > 10 * limit, v0
+    assert abs(v_last - limit) < 1e-6, v_last
